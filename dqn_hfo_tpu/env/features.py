@@ -150,7 +150,7 @@ def observe(sp: ServerParams, cfg: EnvConfig, state: EnvState, agent_idx: int):
         [
             -1.0 + 2.0 * state.t / sp.frames_per_trial,            # 44
             -1.0 + 2.0 * state.untouched / sp.untouched_time,      # 45
-            jnp.clip(pos[0] / hl, -1.0, 1.0) * 2.0 - 1.0,          # 46
+            jnp.clip(2.0 * pos[0] / hl - 1.0, -1.0, 1.0),          # 46
             jnp.clip(pos[1] / hw, -1.0, 1.0),                      # 47
             -1.0 + 2.0 * unums[a] / 11.0,                          # 48
             1.0,                                                   # 49 reserved
