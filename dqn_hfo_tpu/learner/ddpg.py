@@ -1,0 +1,205 @@
+"""Parameterized-action DDPG learner as a pure functional update.
+
+Algorithmic parity with DQN::UpdateActorCritic
+(/root/reference/src/dqn.cpp:828-972):
+
+1. Sample 32 transitions uniformly with replacement.
+2. Targets: per-sample mix  beta * on_policy_MC + (1-beta) * off_policy,
+   off_policy = r if terminal else r + gamma * Q_target(s', actor_target(s'))
+   (dqn.cpp:889-899; beta flag dqn.cpp:31).
+3. Critic: Adam step on EuclideanLoss = ||q - target||^2 / (2N)
+   (Caffe EuclideanLoss; lr 1e-3, grad-clip 10 — dqn_main.cpp:34-35,261).
+4. Actor: dL/dQ = -1 per sample, backprop through the critic to its action
+   inputs, gradient inversion on those diffs, then through the actor
+   (dqn.cpp:908-965) — expressed here as jax.grad of
+   -sum(critic(s, invert(actor(s)))) wrt actor params, with the inversion a
+   custom_vjp (ops/grad_inversion.py). Adam lr 1e-5, clip 10.
+5. Soft-update both target nets every soft_update_freq iters with tau=.001
+   (dqn.cpp:967-970, 1085-1096).
+
+State is a single pytree; the whole update jit-compiles onto the TPU and
+composes with shard_map for data parallelism (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dqn_hfo_tpu import constants as C
+from dqn_hfo_tpu.learner import replay as rp
+from dqn_hfo_tpu.models.nets import (actor_apply, actor_init, critic_apply,
+                                     critic_init)
+from dqn_hfo_tpu.ops.grad_inversion import invert_gradients
+
+F32 = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPGConfig:
+    """Learner hyperparameters — names/defaults match the reference flags
+    (dqn.cpp:21-31, dqn_main.cpp:29-41)."""
+
+    state_size: int = 59
+    minibatch: int = C.K_MINIBATCH_SIZE
+    gamma: float = 0.99
+    tau: float = 0.001
+    soft_update_freq: int = 1
+    beta: float = 0.5
+    actor_lr: float = 1e-5
+    critic_lr: float = 1e-3
+    momentum: float = 0.95
+    momentum2: float = 0.999
+    clip_grad: float = 10.0
+    adam_eps: float = 1e-8
+    memory_threshold: int = 1000
+    compute_dtype: Any = None  # e.g. jnp.bfloat16 for MXU throughput
+
+
+class LearnerState(NamedTuple):
+    actor: Any
+    critic: Any
+    actor_target: Any
+    critic_target: Any
+    actor_opt: Any
+    critic_opt: Any
+    iteration: jnp.ndarray  # () i32 — actor_iter == critic_iter here
+    rng: Any
+
+
+def make_optimizer(lr, cfg: DDPGConfig):
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.clip_grad),
+        optax.scale_by_adam(b1=cfg.momentum, b2=cfg.momentum2, eps=cfg.adam_eps),
+        optax.scale(-lr),
+    )
+
+
+def init_learner(key, cfg: DDPGConfig) -> LearnerState:
+    ka, kc, kr = jax.random.split(key, 3)
+    actor = actor_init(ka, cfg.state_size)
+    critic = critic_init(kc, cfg.state_size)
+    # Target nets start as clones (CloneNet, dqn.cpp:660-661).
+    actor_target = jax.tree_util.tree_map(jnp.copy, actor)
+    critic_target = jax.tree_util.tree_map(jnp.copy, critic)
+    return LearnerState(
+        actor=actor,
+        critic=critic,
+        actor_target=actor_target,
+        critic_target=critic_target,
+        actor_opt=make_optimizer(cfg.actor_lr, cfg).init(actor),
+        critic_opt=make_optimizer(cfg.critic_lr, cfg).init(critic),
+        iteration=jnp.asarray(0, jnp.int32),
+        rng=kr,
+    )
+
+
+def compute_targets(ls: LearnerState, cfg: DDPGConfig, reward, on_policy,
+                    next_obs, terminal):
+    """Mixed on/off-policy targets (dqn.cpp:889-899)."""
+    a_next = actor_apply(ls.actor_target, next_obs, cfg.compute_dtype)
+    q_next = critic_apply(ls.critic_target, next_obs, a_next, cfg.compute_dtype)
+    off_policy = jnp.where(terminal, reward, reward + cfg.gamma * q_next)
+    return cfg.beta * on_policy + (1.0 - cfg.beta) * off_policy
+
+
+def critic_loss_fn(critic, cfg: DDPGConfig, obs, action, target):
+    q = critic_apply(critic, obs, action, cfg.compute_dtype)
+    # Caffe EuclideanLoss: 1/(2N) * sum (q - t)^2
+    return jnp.sum((q - target) ** 2) / (2.0 * q.shape[0])
+
+
+def actor_loss_fn(actor, critic, cfg: DDPGConfig, obs):
+    """-sum Q(s, invert(actor(s))): grad reproduces the reference's
+    per-sample dL/dQ = -1 + gradient inversion + actor backward."""
+    out = actor_apply(actor, obs, cfg.compute_dtype)
+    out = invert_gradients(out)
+    q = critic_apply(critic, obs, out, cfg.compute_dtype)
+    return -jnp.sum(q), q
+
+
+def update_once(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig):
+    """One actor+critic iteration from the replay. Returns
+    (new LearnerState, (critic_loss, avg_q))."""
+    key, k_sample = jax.random.split(ls.rng)
+    idx = rp.sample(replay, k_sample, cfg.minibatch)
+    obs, action, reward, on_policy, next_obs, terminal = rp.gather(replay, idx)
+
+    target = compute_targets(ls, cfg, reward, on_policy, next_obs, terminal)
+
+    # Critic step
+    closs, cgrads = jax.value_and_grad(critic_loss_fn)(
+        ls.critic, cfg, obs, action, target
+    )
+    c_opt = make_optimizer(cfg.critic_lr, cfg)
+    c_updates, c_opt_state = c_opt.update(cgrads, ls.critic_opt, ls.critic)
+    critic = optax.apply_updates(ls.critic, c_updates)
+
+    # Actor step — uses the UPDATED critic, matching the reference ordering
+    # (critic Step(1) precedes the actor backward, dqn.cpp:901-965).
+    (_, q), agrads = jax.value_and_grad(actor_loss_fn, has_aux=True)(
+        ls.actor, critic, cfg, obs
+    )
+    a_opt = make_optimizer(cfg.actor_lr, cfg)
+    a_updates, a_opt_state = a_opt.update(agrads, ls.actor_opt, ls.actor)
+    actor = optax.apply_updates(ls.actor, a_updates)
+
+    iteration = ls.iteration + 1
+
+    # Soft target updates (dqn.cpp:967-970)
+    do_soft = jnp.mod(iteration, cfg.soft_update_freq) == 0
+
+    def soft(t, l):
+        return jnp.where(do_soft, cfg.tau * l + (1.0 - cfg.tau) * t, t)
+
+    actor_target = jax.tree_util.tree_map(soft, ls.actor_target, actor)
+    critic_target = jax.tree_util.tree_map(soft, ls.critic_target, critic)
+
+    new_ls = LearnerState(
+        actor=actor,
+        critic=critic,
+        actor_target=actor_target,
+        critic_target=critic_target,
+        actor_opt=a_opt_state,
+        critic_opt=c_opt_state,
+        iteration=iteration,
+        rng=key,
+    )
+    return new_ls, (closs, jnp.mean(q))
+
+
+def update_n(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
+             n_updates, max_updates: int):
+    """Run up to max_updates iterations, the first n_updates active (the
+    episode-coupled update count: int(steps * update_ratio),
+    dqn_main.cpp:358-362).  Skips entirely below memory_threshold
+    (dqn.cpp:800-802)."""
+    enough = rp.valid_count(replay) >= cfg.memory_threshold
+
+    def body(carry, i):
+        state = carry
+        do = (i < n_updates) & enough
+
+        def run(s):
+            return update_once(s, replay, cfg)
+
+        def skip(s):
+            return s, (jnp.asarray(0.0, F32), jnp.asarray(0.0, F32))
+
+        state, metrics = jax.lax.cond(do, run, skip, state)
+        return state, metrics + (do,)
+
+    ls, (losses, qs, dids) = jax.lax.scan(
+        body, ls, jnp.arange(max_updates, dtype=jnp.int32)
+    )
+    n_done = jnp.sum(dids.astype(jnp.int32))
+    denom = jnp.maximum(n_done, 1)
+    return ls, {
+        "critic_loss": jnp.sum(losses) / denom,
+        "avg_q": jnp.sum(qs) / denom,
+        "updates": n_done,
+    }
