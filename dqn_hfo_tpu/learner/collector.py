@@ -34,7 +34,7 @@ class WindowState(NamedTuple):
 
     rewards: jnp.ndarray
     dones: jnp.ndarray
-    abs_ids: jnp.ndarray  # i32; -1 = before history
+    abs_ids: jnp.ndarray  # (K,) i32 step ids; -1 = before history
 
 
 class CollectorState(NamedTuple):
@@ -42,7 +42,7 @@ class CollectorState(NamedTuple):
     obs: jnp.ndarray        # (E, F) current observations (agent 0)
     window: WindowState
     ep_return: jnp.ndarray  # (E,) running shaped return of current episode
-    rng: Any
+    rng: Any                # (1,) key — leading axis so a mesh can shard it
 
 
 def init_collector(venv, key, chunk_len: int) -> CollectorState:
@@ -52,14 +52,14 @@ def init_collector(venv, key, chunk_len: int) -> CollectorState:
     window = WindowState(
         rewards=jnp.zeros((chunk_len, E), F32),
         dones=jnp.ones((chunk_len, E), bool),   # pretend-finished: no labels
-        abs_ids=jnp.full((chunk_len, E), -1, jnp.int32),
+        abs_ids=jnp.full((chunk_len,), -1, jnp.int32),
     )
     return CollectorState(
         env_states=env_states,
         obs=obs[:, 0, :],  # single learning agent
         window=window,
         ep_return=jnp.zeros((E,), F32),
-        rng=k_rng,
+        rng=k_rng[None],
     )
 
 
@@ -102,7 +102,7 @@ def rollout_chunk(cs: CollectorState, replay: rp.ReplayState, actor_params,
         )
         return (env_states, obs2, replay, ep_ret, key), stats
 
-    carry = (cs.env_states, cs.obs, replay, cs.ep_return, cs.rng)
+    carry = (cs.env_states, cs.obs, replay, cs.ep_return, cs.rng[0])
     carry, ys = jax.lax.scan(step_fn, carry, None, length=chunk_len)
     env_states, obs, replay, ep_ret, key = carry
     (rews, dones, ids, n_eps, sum_ret, sum_steps, n_goals) = ys
@@ -120,7 +120,7 @@ def rollout_chunk(cs: CollectorState, replay: rp.ReplayState, actor_params,
         obs=obs,
         window=WindowState(rewards=rews, dones=dones, abs_ids=ids),
         ep_return=ep_ret,
-        rng=key,
+        rng=key[None],
     )
     metrics = {
         "episodes": jnp.sum(n_eps),

@@ -122,10 +122,19 @@ def actor_loss_fn(actor, critic, cfg: DDPGConfig, obs):
     return -jnp.sum(q), q
 
 
-def update_once(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig):
+def update_once(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
+                axis_name=None):
     """One actor+critic iteration from the replay. Returns
-    (new LearnerState, (critic_loss, avg_q))."""
+    (new LearnerState, (critic_loss, avg_q)).
+
+    With `axis_name` set (data-parallel mesh), each shard samples
+    cfg.minibatch transitions from its local replay shard and gradients are
+    pmean'd over the axis before Adam — the psum-of-gradients DP mapping of
+    the reference's single-GPU update (SURVEY.md §2 P5/P6)."""
     key, k_sample = jax.random.split(ls.rng)
+    if axis_name is not None:
+        # distinct sample streams per shard; ls.rng itself stays replicated
+        k_sample = jax.random.fold_in(k_sample, jax.lax.axis_index(axis_name))
     idx = rp.sample(replay, k_sample, cfg.minibatch)
     obs, action, reward, on_policy, next_obs, terminal = rp.gather(replay, idx)
 
@@ -135,6 +144,9 @@ def update_once(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig):
     closs, cgrads = jax.value_and_grad(critic_loss_fn)(
         ls.critic, cfg, obs, action, target
     )
+    if axis_name is not None:
+        cgrads = jax.lax.pmean(cgrads, axis_name)
+        closs = jax.lax.pmean(closs, axis_name)
     c_opt = make_optimizer(cfg.critic_lr, cfg)
     c_updates, c_opt_state = c_opt.update(cgrads, ls.critic_opt, ls.critic)
     critic = optax.apply_updates(ls.critic, c_updates)
@@ -144,6 +156,8 @@ def update_once(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig):
     (_, q), agrads = jax.value_and_grad(actor_loss_fn, has_aux=True)(
         ls.actor, critic, cfg, obs
     )
+    if axis_name is not None:
+        agrads = jax.lax.pmean(agrads, axis_name)
     a_opt = make_optimizer(cfg.actor_lr, cfg)
     a_updates, a_opt_state = a_opt.update(agrads, ls.actor_opt, ls.actor)
     actor = optax.apply_updates(ls.actor, a_updates)
@@ -169,23 +183,30 @@ def update_once(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig):
         iteration=iteration,
         rng=key,
     )
-    return new_ls, (closs, jnp.mean(q))
+    avg_q = jnp.mean(q)
+    if axis_name is not None:
+        avg_q = jax.lax.pmean(avg_q, axis_name)
+    return new_ls, (closs, avg_q)
 
 
 def update_n(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
-             n_updates, max_updates: int):
+             n_updates, max_updates: int, axis_name=None):
     """Run up to max_updates iterations, the first n_updates active (the
     episode-coupled update count: int(steps * update_ratio),
     dqn_main.cpp:358-362).  Skips entirely below memory_threshold
     (dqn.cpp:800-802)."""
-    enough = rp.valid_count(replay) >= cfg.memory_threshold
+    count = rp.valid_count(replay)
+    if axis_name is not None:
+        # all shards must agree on the gate or collectives would diverge
+        count = jax.lax.psum(count, axis_name)
+    enough = count >= cfg.memory_threshold
 
     def body(carry, i):
         state = carry
         do = (i < n_updates) & enough
 
         def run(s):
-            return update_once(s, replay, cfg)
+            return update_once(s, replay, cfg, axis_name)
 
         def skip(s):
             return s, (jnp.asarray(0.0, F32), jnp.asarray(0.0, F32))

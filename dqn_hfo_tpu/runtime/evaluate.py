@@ -1,0 +1,86 @@
+"""Batched policy evaluation — the reference's Evaluate(), vectorized.
+
+Reference (/root/reference/src/dqn_main.cpp:171-204): play repeat_games(100)
+episodes at evaluate_with_epsilon(0) without updates; report avg/std of
+reward and steps (Bessel-corrected), avg/std steps of successful trials, and
+goal_perc — the HiScore model-selection metric.
+
+Here: repeat_games envs run in lockstep with absorbing termination for
+frames_per_trial steps — one jitted scan, exactly repeat_games episodes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dqn_hfo_tpu import constants as C
+from dqn_hfo_tpu.env.hfo_env import VecHFOEnv
+from dqn_hfo_tpu.learner.agent import decode_action, select_actions
+
+
+def _eval_scan(actor_params, key, venv: VecHFOEnv, n_steps: int,
+               epsilon: float, compute_dtype=None):
+    k_env, k_act = jax.random.split(key)
+    states, obs = venv.reset(k_env)
+
+    def step_fn(carry, _):
+        states, obs, key, ep_reward = carry
+        key, k = jax.random.split(key)
+        actor_out = select_actions(actor_params, obs[:, 0, :], k, epsilon,
+                                   compute_dtype)
+        action, a1, a2 = decode_action(actor_out)
+        states, obs, info = venv.step_absorb(
+            states, action[:, None], a1[:, None], a2[:, None]
+        )
+        ep_reward = ep_reward + info.reward[:, 0]
+        return (states, obs, key, ep_reward), None
+
+    E = obs.shape[0]
+    init = (states, obs, k_act, jnp.zeros((E,), jnp.float32))
+    (states, obs, _, ep_reward), _ = jax.lax.scan(
+        step_fn, init, None, length=n_steps
+    )
+    return ep_reward, states.t, states.status
+
+
+def _avg_std(x: np.ndarray):
+    """Bessel-corrected avg/std (get_avg_std, dqn_main.cpp:155-168)."""
+    if x.size == 0:
+        return float("nan"), float("nan")
+    avg = float(np.mean(x))
+    if x.size < 2:
+        return avg, float("nan")
+    return avg, float(np.std(x, ddof=1))
+
+
+class Evaluator:
+    def __init__(self, venv: VecHFOEnv, n_steps: int, epsilon: float,
+                 compute_dtype=None):
+        self._fn = jax.jit(functools.partial(
+            _eval_scan, venv=venv, n_steps=n_steps, epsilon=epsilon,
+            compute_dtype=compute_dtype,
+        ))
+
+    def __call__(self, actor_params, key) -> Dict[str, float]:
+        rewards, steps, statuses = self._fn(actor_params, key)
+        rewards = np.asarray(rewards)
+        steps = np.asarray(steps)
+        statuses = np.asarray(statuses)
+        goals = statuses == C.GOAL
+        avg_r, std_r = _avg_std(rewards)
+        avg_s, std_s = _avg_std(steps.astype(np.float64))
+        avg_gs, std_gs = _avg_std(steps[goals].astype(np.float64))
+        return {
+            "avg_reward": avg_r,
+            "reward_std": std_r,
+            "avg_steps": avg_s,
+            "steps_std": std_s,
+            "success_steps": avg_gs,
+            "success_std": std_gs,
+            "goal_perc": float(np.mean(goals)),
+        }

@@ -1,0 +1,261 @@
+"""Host-side training orchestration — the reference's KeepPlayingGames loop
+(/root/reference/src/dqn_main.cpp:206-382), re-architected for a batched
+on-device actor-learner.
+
+The reference interleaves, per agent thread: play one episode -> run
+int(steps * update_ratio) updates -> evaluate every evaluate_freq actor
+iters -> HiScore snapshot on a new best -> periodic snapshot.  Here the unit
+of work is a rollout *chunk* (E envs x K steps in one jitted scan); the
+updates-per-env-step ratio, epsilon-by-iteration schedule, evaluation
+cadence, HiScore selection, and auto-resume contract are preserved.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dqn_hfo_tpu import constants as C
+from dqn_hfo_tpu.constants import DEFAULT_PARAMS, ServerParams
+from dqn_hfo_tpu.env.hfo_env import HFOEnv, VecHFOEnv
+from dqn_hfo_tpu.env.state import EnvConfig
+from dqn_hfo_tpu.learner import replay as rp
+from dqn_hfo_tpu.learner.agent import calculate_epsilon
+from dqn_hfo_tpu.learner.collector import init_collector, rollout_chunk
+from dqn_hfo_tpu.learner.ddpg import DDPGConfig, init_learner, update_n
+from dqn_hfo_tpu.runtime import checkpoint as ckpt
+from dqn_hfo_tpu.runtime.config import RunConfig
+from dqn_hfo_tpu.runtime.evaluate import Evaluator
+from dqn_hfo_tpu.runtime.metrics import MetricsLogger
+
+import dataclasses
+
+
+def make_env_config(cfg: RunConfig) -> EnvConfig:
+    return EnvConfig(
+        offense_agents=cfg.offense_agents,
+        offense_npcs=cfg.total_offense_npcs,
+        defense_npcs=cfg.total_defense_npcs,
+        defense_goalie=cfg.total_defense_npcs > 0,
+        ball_x_min=cfg.ball_x_min,
+        ball_x_max=cfg.ball_x_max,
+        offense_on_ball=cfg.offense_on_ball,
+    )
+
+
+def make_server_params(cfg: RunConfig) -> ServerParams:
+    return dataclasses.replace(
+        DEFAULT_PARAMS,
+        frames_per_trial=cfg.frames_per_trial,
+        untouched_time=cfg.untouched_time,
+    )
+
+
+class Trainer:
+    def __init__(self, cfg: RunConfig):
+        self.cfg = cfg
+        self.log = MetricsLogger(cfg.save)
+        env_cfg = make_env_config(cfg)
+        sp = make_server_params(cfg)
+        npc_policy = "chaser" if cfg.defense_chasers > 0 else "dummy"
+        self.env = HFOEnv(env_cfg, sp, noise_scale=cfg.noise_scale,
+                          npc_policy=npc_policy)
+        self.venv = VecHFOEnv(self.env, cfg.envs)
+        self.state_size = env_cfg.state_size
+        self.compute_dtype = jnp.bfloat16 if cfg.bf16 else None
+
+        self.dcfg = DDPGConfig(
+            state_size=self.state_size,
+            gamma=cfg.gamma,
+            tau=cfg.tau,
+            soft_update_freq=cfg.soft_update_freq,
+            beta=cfg.beta,
+            actor_lr=cfg.actor_lr,
+            critic_lr=cfg.critic_lr,
+            momentum=cfg.momentum,
+            momentum2=cfg.momentum2,
+            clip_grad=cfg.clip_grad,
+            memory_threshold=cfg.memory_threshold,
+            compute_dtype=self.compute_dtype,
+        )
+
+        key = jax.random.PRNGKey(cfg.seed)
+        k_learn, k_coll, self._eval_key = jax.random.split(key, 3)
+        self.learner = init_learner(k_learn, self.dcfg)
+        self.replay = rp.init_replay(cfg.memory, cfg.envs, self.state_size)
+        self.collector = init_collector(self.venv, k_coll, cfg.chunk_len)
+
+        self.updates_per_chunk = int(cfg.envs * cfg.chunk_len *
+                                     cfg.update_ratio)
+        self._roll = jax.jit(functools.partial(
+            rollout_chunk, venv=self.venv, chunk_len=cfg.chunk_len,
+            gamma=cfg.gamma, compute_dtype=self.compute_dtype,
+        ), donate_argnums=(0, 1))
+        self._update = jax.jit(functools.partial(
+            update_n, cfg=self.dcfg,
+            max_updates=max(self.updates_per_chunk, 1),
+        ), donate_argnums=(0,))
+
+        eval_env = VecHFOEnv(self.env, cfg.repeat_games)
+        self.evaluator = Evaluator(eval_env, cfg.frames_per_trial,
+                                   cfg.evaluate_with_epsilon,
+                                   self.compute_dtype)
+
+        self.episode_count = 0
+        self.best_score = -float("inf")
+        self._maybe_resume()
+
+    # ------------------------------------------------------------------ util
+    def _maybe_resume(self):
+        cfg = self.cfg
+        if not (cfg.save or cfg.resume or cfg.actor_snapshot or
+                cfg.critic_snapshot or cfg.actor_weights or
+                cfg.critic_weights or cfg.memory_snapshot):
+            return
+        resume_path = cfg.resume or cfg.save
+        actor_p, critic_p, mem_p = ("", "", "")
+        if resume_path:
+            actor_p, critic_p, mem_p = ckpt.find_latest_snapshot(resume_path)
+            if actor_p or critic_p or mem_p:
+                self.log.info(f"Found Resumable(s): [{resume_path}] "
+                              f"{actor_p}, {critic_p}, {mem_p}")
+        assert not (cfg.critic_snapshot and cfg.critic_weights), \
+            "Give a snapshot or weights but not both."
+        assert not (cfg.actor_snapshot and cfg.actor_weights), \
+            "Give a snapshot or weights but not both."
+        actor_p = actor_p or cfg.actor_snapshot
+        critic_p = critic_p or cfg.critic_snapshot
+        mem_p = mem_p or cfg.memory_snapshot
+        if actor_p or critic_p or cfg.actor_weights or cfg.critic_weights:
+            self.learner = ckpt.restore_learner(
+                self.learner, actor_p, critic_p,
+                cfg.actor_weights, cfg.critic_weights,
+            )
+            self.log.info(f"Restored learner at iter {int(self.learner.iteration)}")
+        if mem_p:
+            self.replay = ckpt.load_replay(mem_p)
+            self.log.info(
+                f"replay_mem_size = {int(rp.valid_count(self.replay))}")
+        if resume_path:
+            self.best_score = max(self.best_score,
+                                  ckpt.find_hi_score(resume_path))
+
+    def _snapshot(self, prefix=None, remove_old=None, snapshot_memory=None):
+        cfg = self.cfg
+        if not cfg.save:
+            return
+        paths = ckpt.snapshot(
+            prefix or cfg.save, self.learner,
+            self.replay,
+            snapshot_memory=(cfg.snapshot_memory if snapshot_memory is None
+                             else snapshot_memory),
+            remove_old=(cfg.remove_old_snapshots if remove_old is None
+                        else remove_old),
+        )
+        self.log.info(f"Snapshotting Finished! ({paths[0]})")
+
+    # ----------------------------------------------------------------- modes
+    def train(self):
+        cfg = self.cfg
+        last_eval_iter = int(self.learner.iteration)
+        last_snapshot_iter = int(self.learner.iteration)
+        while int(self.learner.iteration) < cfg.max_iter:
+            t0 = time.time()
+            eps = calculate_epsilon(self.learner.iteration, cfg.explore,
+                                    cfg.epsilon)
+            self.collector, self.replay, m = self._roll(
+                self.collector, self.replay, self.learner.actor, eps)
+            self.learner, um = self._update(
+                self.learner, self.replay,
+                n_updates=jnp.asarray(self.updates_per_chunk, jnp.int32))
+            dt = time.time() - t0
+
+            n_eps = int(m["episodes"])
+            if n_eps > 0:
+                avg_ret = float(m["sum_episode_return"]) / n_eps
+                self.episode_count += n_eps
+                self.log.episode(self.episode_count, avg_ret)
+            it = int(self.learner.iteration)
+            self.log.critic_loss(it, float(um["critic_loss"]))
+            self.log.actor_q(it, float(um["avg_q"]))
+            self.log.throughput(int(m["env_steps"]), int(um["updates"]), dt)
+
+            if it >= last_eval_iter + cfg.evaluate_freq:
+                self._eval_key, k = jax.random.split(self._eval_key)
+                em = self.evaluator(self.learner.actor, k)
+                self.log.evaluation(it, em)
+                score = em["goal_perc"]
+                if score > self.best_score and cfg.save:
+                    self.log.info(
+                        f"New High Score: {score}, actor_iter = {it}, "
+                        f"critic_iter = {it}")
+                    self.best_score = score
+                    ckpt.remove_files_matching(cfg.save + r"_HiScore.*")
+                    self._snapshot(prefix=f"{cfg.save}_HiScore{score}",
+                                   remove_old=False, snapshot_memory=False)
+                last_eval_iter = it
+            if it >= last_snapshot_iter + cfg.snapshot_freq:
+                self._snapshot()
+                last_snapshot_iter = it
+        self._snapshot()
+
+    def evaluate_mode(self):
+        self._eval_key, k = jax.random.split(self._eval_key)
+        em = self.evaluator(self.learner.actor, k)
+        self.log.evaluation(int(self.learner.iteration), em)
+        return em
+
+    def benchmark(self, iterations: int = 1000):
+        """--benchmark: one rollout chunk, then time `iterations` updates
+        (DQN::Benchmark, dqn.cpp:487-498)."""
+        eps = jnp.asarray(1.0)
+        self.collector, self.replay, _ = self._roll(
+            self.collector, self.replay, self.learner.actor, eps)
+        self.collector, self.replay, _ = self._roll(
+            self.collector, self.replay, self.learner.actor, eps)
+        upd = jax.jit(functools.partial(update_n, cfg=self.dcfg,
+                                        max_updates=iterations))
+        # warmup/compile
+        self.learner, _ = upd(self.learner, self.replay,
+                              n_updates=jnp.asarray(1, jnp.int32))
+        jax.block_until_ready(self.learner.actor)
+        t0 = time.time()
+        self.learner, um = upd(self.learner, self.replay,
+                               n_updates=jnp.asarray(iterations, jnp.int32))
+        jax.block_until_ready(self.learner.actor)
+        ms = (time.time() - t0) * 1000.0 / iterations
+        self.log.info(f"Average Update: {ms} ms.", avg_update_ms=ms)
+        return ms
+
+    def learn_offline(self):
+        """--learn_offline: updates on a fixed replay (dqn_main.cpp:340-349)."""
+        cfg = self.cfg
+        while int(self.learner.iteration) < cfg.max_iter:
+            self.learner, um = self._update(
+                self.learner, self.replay,
+                n_updates=jnp.asarray(self.updates_per_chunk, jnp.int32))
+            if int(um["updates"]) == 0:
+                self.log.info("Replay below memory_threshold; stopping.")
+                break
+            it = int(self.learner.iteration)
+            self.log.critic_loss(it, float(um["critic_loss"]))
+            self.log.actor_q(it, float(um["avg_q"]))
+        self._snapshot()
+
+
+def run(cfg: RunConfig):
+    if not cfg.save and not cfg.evaluate and not cfg.benchmark:
+        raise SystemExit("Save path (or evaluate/benchmark) required but not set.")
+    trainer = Trainer(cfg)
+    if cfg.evaluate:
+        return trainer.evaluate_mode()
+    if cfg.benchmark:
+        return trainer.benchmark()
+    if cfg.learn_offline:
+        return trainer.learn_offline()
+    return trainer.train()

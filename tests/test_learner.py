@@ -72,10 +72,10 @@ class TestDDPGUpdate:
             obs = jax.random.normal(k, (8, cfg.state_size))
             act = random_actor_output(k, (8,))
             tgt = jnp.sum(obs, axis=-1)
-            rs, slots = rp.write_step(rs, obs, act, tgt, obs,
-                                      jnp.ones(8, bool))
-            rs = rp.label_rows(rs, slots[None, :], tgt[None, :],
-                               jnp.ones((1, 8), bool))
+            rs, sid = rp.write_step(rs, obs, act, tgt, obs,
+                                    jnp.ones(8, bool))
+            rs = rp.label_rows(rs, jnp.asarray([sid], jnp.int32),
+                               tgt[None, :], jnp.ones((1, 8), bool))
         return rs
 
     def test_critic_loss_decreases(self):
@@ -160,21 +160,21 @@ class TestCollector:
             rollout_chunk, venv=venv, chunk_len=K, gamma=cfg.gamma))
         for _ in range(3):
             cs, rs, _ = roll(cs, rs, ls.actor, jnp.asarray(1.0))
-        valid = np.asarray(rs.valid)
+        valid = np.asarray(rs.valid)      # (S+1, E)
         tgt = np.asarray(rs.target)
         rew = np.asarray(rs.reward)
         term = np.asarray(rs.terminal)
-        cap = rp.capacity_of(rs)
+        S = rp.steps_capacity(rs)
         checked = 0
-        for i in np.nonzero(valid)[0]:
-            if term[i]:
-                assert tgt[i] == pytest.approx(rew[i], abs=1e-5)
+        for s, e in zip(*np.nonzero(valid)):
+            if term[s, e]:
+                assert tgt[s, e] == pytest.approx(rew[s, e], abs=1e-5)
                 checked += 1
             else:
-                # successor row in stream: same env's next step = i + E
-                j = (i + E) % cap
-                if valid[j]:
-                    assert tgt[i] == pytest.approx(
-                        rew[i] + cfg.gamma * tgt[j], abs=1e-4)
+                # same env's next step is the next step-row (ring-wrapped)
+                s2 = (s + 1) % S
+                if valid[s2, e]:
+                    assert tgt[s, e] == pytest.approx(
+                        rew[s, e] + cfg.gamma * tgt[s2, e], abs=1e-4)
                     checked += 1
         assert checked > 100

@@ -52,19 +52,22 @@ class TestReplay:
     def make(self, cap=64, E=8, F=4):
         return rp.init_replay(cap, E, F)
 
+    @staticmethod
+    def _ids(step_id):
+        return jnp.asarray([step_id], jnp.int32)
+
     def test_write_and_label_roundtrip(self):
         E, F = 8, 4
         rs = self.make(64, E, F)
         obs = jnp.arange(E * F, dtype=jnp.float32).reshape(E, F)
         act = jnp.ones((E, 10))
         rew = jnp.arange(E, dtype=jnp.float32)
-        rs, slots = rp.write_step(rs, obs, act, rew, obs + 1, jnp.zeros(E, bool))
+        rs, sid = rp.write_step(rs, obs, act, rew, obs + 1, jnp.zeros(E, bool))
         assert int(rp.valid_count(rs)) == 0  # unlabeled yet
-        # label all rows
         targets = jnp.full((1, E), 7.0)
-        rs = rp.label_rows(rs, slots[None, :], targets, jnp.ones((1, E), bool))
+        rs = rp.label_rows(rs, self._ids(sid), targets, jnp.ones((1, E), bool))
         assert int(rp.valid_count(rs)) == E
-        idx = jnp.arange(E)
+        idx = jnp.arange(E)  # step 0, envs 0..E-1 are flat entries 0..E-1
         o, a, r, t, no, term = rp.gather(rs, idx)
         np.testing.assert_allclose(np.asarray(t), 7.0)
         np.testing.assert_allclose(np.asarray(o), np.asarray(obs))
@@ -72,19 +75,19 @@ class TestReplay:
 
     def test_ring_eviction_invalidates(self):
         E, F = 8, 4
-        rs = self.make(16, E, F)  # cap 16 = 2 writes
-        all_slots = []
+        rs = self.make(16, E, F)  # 2 step-rows
+        ids = []
         for i in range(3):  # third write wraps and overwrites first
             obs = jnp.full((E, F), float(i))
-            rs, slots = rp.write_step(rs, obs, jnp.zeros((E, 10)),
-                                      jnp.zeros(E), obs, jnp.zeros(E, bool))
-            all_slots.append(slots)
+            rs, sid = rp.write_step(rs, obs, jnp.zeros((E, 10)),
+                                    jnp.zeros(E), obs, jnp.zeros(E, bool))
+            ids.append(sid)
         # labeling the overwritten first write must be a no-op
-        rs = rp.label_rows(rs, all_slots[0][None, :], jnp.ones((1, E)),
+        rs = rp.label_rows(rs, self._ids(ids[0]), jnp.ones((1, E)),
                            jnp.ones((1, E), bool))
         assert int(rp.valid_count(rs)) == 0
         # labeling the freshest write works
-        rs = rp.label_rows(rs, all_slots[2][None, :], jnp.ones((1, E)),
+        rs = rp.label_rows(rs, self._ids(ids[2]), jnp.ones((1, E)),
                            jnp.ones((1, E), bool))
         assert int(rp.valid_count(rs)) == E
 
@@ -92,26 +95,39 @@ class TestReplay:
         E, F = 8, 4
         rs = self.make(64, E, F)
         obs = jnp.zeros((E, F))
-        rs, slots = rp.write_step(rs, obs, jnp.zeros((E, 10)),
-                                  jnp.zeros(E), obs, jnp.zeros(E, bool))
-        # only label the first 3 rows
+        rs, sid = rp.write_step(rs, obs, jnp.zeros((E, 10)),
+                                jnp.zeros(E), obs, jnp.zeros(E, bool))
+        # only label the first 3 env columns of step 0
         m = jnp.zeros((1, E), bool).at[0, :3].set(True)
-        rs = rp.label_rows(rs, slots[None, :], jnp.zeros((1, E)), m)
+        rs = rp.label_rows(rs, self._ids(sid), jnp.zeros((1, E)), m)
         idx = rp.sample(rs, jax.random.PRNGKey(0), 256)
         assert set(np.asarray(idx).tolist()) <= {0, 1, 2}
 
     def test_capacity_rounding(self):
         rs = rp.init_replay(100, 8, 4)
-        assert rp.capacity_of(rs) == 104
+        assert rp.capacity_of(rs) == 104  # 13 step-rows x 8 envs
+
+    def test_trash_row_never_sampled(self):
+        E, F = 4, 3
+        rs = self.make(8, E, F)  # S = 2
+        S = rp.steps_capacity(rs)
+        obs = jnp.zeros((E, F))
+        rs, sid = rp.write_step(rs, obs, jnp.zeros((E, 10)), jnp.zeros(E),
+                                obs, jnp.zeros(E, bool))
+        # stale id scatters into the trash row, which must stay invalid
+        rs = rp.label_rows(rs, jnp.asarray([-1], jnp.int32),
+                           jnp.ones((1, E)), jnp.ones((1, E), bool))
+        assert not bool(rs.valid[S].any())
+        assert int(rp.valid_count(rs)) == 0
 
     def test_sampling_uniformity(self):
         E, F = 8, 4
         rs = self.make(64, E, F)
         obs = jnp.zeros((E, F))
         for _ in range(2):
-            rs, slots = rp.write_step(rs, obs, jnp.zeros((E, 10)),
-                                      jnp.zeros(E), obs, jnp.zeros(E, bool))
-            rs = rp.label_rows(rs, slots[None, :], jnp.zeros((1, E)),
+            rs, sid = rp.write_step(rs, obs, jnp.zeros((E, 10)),
+                                    jnp.zeros(E), obs, jnp.zeros(E, bool))
+            rs = rp.label_rows(rs, self._ids(sid), jnp.zeros((1, E)),
                                jnp.ones((1, E), bool))
         idx = np.asarray(rp.sample(rs, jax.random.PRNGKey(1), 4096))
         counts = np.bincount(idx, minlength=16)[:16]

@@ -1,0 +1,158 @@
+"""Tests for config, checkpoint/resume, evaluator, and the CLI loop."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dqn_hfo_tpu.constants import DEFAULT_PARAMS
+from dqn_hfo_tpu.env.hfo_env import HFOEnv, VecHFOEnv
+from dqn_hfo_tpu.env.state import EnvConfig
+from dqn_hfo_tpu.learner import replay as rp
+from dqn_hfo_tpu.learner.ddpg import DDPGConfig, init_learner
+from dqn_hfo_tpu.runtime import checkpoint as ckpt
+from dqn_hfo_tpu.runtime.config import RunConfig, parse_args
+from dqn_hfo_tpu.runtime.evaluate import Evaluator
+from dqn_hfo_tpu.runtime.loop import Trainer, make_env_config
+
+
+class TestConfig:
+    def test_defaults_match_reference(self):
+        c = RunConfig(save="x")
+        assert c.tau == 0.001 and c.gamma == 0.99 and c.beta == 0.5
+        assert c.memory == 500000 and c.memory_threshold == 1000
+        assert c.actor_lr == 1e-5 and c.critic_lr == 1e-3
+        assert c.momentum == 0.95 and c.momentum2 == 0.999
+        assert c.clip_grad == 10 and c.max_iter == 10_000_000
+        assert c.explore == 10000 and c.epsilon == 0.1
+        assert c.evaluate_freq == 10000 and c.repeat_games == 100
+        assert c.update_ratio == 0.1 and c.snapshot_freq == 10000
+        assert c.offense_agents == 1 and c.defense_agents == 0
+        assert c.ball_x_min == 0.0 and c.ball_x_max == 0.2
+
+    def test_parse_args(self):
+        c = parse_args(["--save", "/tmp/x", "--critic_lr", "0.01",
+                        "--no-snapshot_memory", "--envs", "16"])
+        assert c.save == "/tmp/x" and c.critic_lr == 0.01
+        assert c.snapshot_memory is False and c.envs == 16
+
+    def test_chunk_len_invariant(self):
+        with pytest.raises(ValueError):
+            RunConfig(save="x", chunk_len=100, frames_per_trial=500)
+
+    def test_env_config_mapping(self):
+        c = RunConfig(save="x", offense_agents=2, offense_dummies=1,
+                      defense_chasers=1)
+        ec = make_env_config(c)
+        assert ec.offense_agents == 2 and ec.offense_npcs == 1
+        assert ec.defense_npcs == 1 and ec.defense_goalie
+
+
+class TestCheckpoint:
+    def test_snapshot_find_restore_roundtrip(self, tmp_path):
+        cfg = DDPGConfig(state_size=8)
+        ls = init_learner(jax.random.PRNGKey(0), cfg)
+        ls = ls._replace(iteration=jnp.asarray(42, jnp.int32))
+        rs = rp.init_replay(64, 8, 8)
+        prefix = str(tmp_path / "run")
+        ckpt.snapshot(prefix, ls, rs)
+        a, c, m = ckpt.find_latest_snapshot(prefix)
+        assert a.endswith("_actor_iter_42.npz")
+        assert c.endswith("_critic_iter_42.npz")
+        assert m.endswith("_iter_42.replaymemory.npz")
+        ls2 = init_learner(jax.random.PRNGKey(5), cfg)
+        ls2 = ckpt.restore_learner(ls2, a, c)
+        assert int(ls2.iteration) == 42
+        np.testing.assert_array_equal(
+            np.asarray(ls.actor["tower"][0]["w"]),
+            np.asarray(ls2.actor["tower"][0]["w"]))
+        # target nets re-cloned from live (dqn.cpp:541-557)
+        np.testing.assert_array_equal(
+            np.asarray(ls2.actor_target["tower"][0]["w"]),
+            np.asarray(ls2.actor["tower"][0]["w"]))
+        rs2 = ckpt.load_replay(m)
+        assert rs2.obs.shape == rs.obs.shape
+
+    def test_remove_old_snapshots(self, tmp_path):
+        cfg = DDPGConfig(state_size=8)
+        prefix = str(tmp_path / "run")
+        for it in (10, 20):
+            ls = init_learner(jax.random.PRNGKey(0), cfg)
+            ls = ls._replace(iteration=jnp.asarray(it, jnp.int32))
+            ckpt.snapshot(prefix, ls, None, snapshot_memory=False,
+                          remove_old=True)
+        files = os.listdir(tmp_path)
+        assert not any("iter_10" in f for f in files)
+        assert any("iter_20" in f for f in files)
+
+    def test_hiscore_exempt_from_gc(self, tmp_path):
+        cfg = DDPGConfig(state_size=8)
+        prefix = str(tmp_path / "run")
+        ls = init_learner(jax.random.PRNGKey(0), cfg)
+        ls = ls._replace(iteration=jnp.asarray(5, jnp.int32))
+        ckpt.snapshot(f"{prefix}_HiScore0.5", ls, None,
+                      snapshot_memory=False, remove_old=False)
+        ls = ls._replace(iteration=jnp.asarray(30, jnp.int32))
+        ckpt.snapshot(prefix, ls, None, snapshot_memory=False,
+                      remove_old=True)
+        files = os.listdir(tmp_path)
+        assert any("HiScore0.5" in f for f in files)
+        assert ckpt.find_hi_score(prefix) == pytest.approx(0.5)
+        # find_latest must not pick up HiScore files
+        a, _, _ = ckpt.find_latest_snapshot(prefix)
+        assert "HiScore" not in a
+
+
+class TestEvaluator:
+    def test_eval_runs_exactly_repeat_games(self):
+        import dataclasses
+        sp = dataclasses.replace(DEFAULT_PARAMS, frames_per_trial=30,
+                                 untouched_time=20)
+        env = HFOEnv(EnvConfig(), sp, noise_scale=1.0)
+        venv = VecHFOEnv(env, 10)
+        ev = Evaluator(venv, 30, 0.0)
+        cfg = DDPGConfig(state_size=59)
+        ls = init_learner(jax.random.PRNGKey(0), cfg)
+        m = ev(ls.actor, jax.random.PRNGKey(1))
+        assert set(m) == {"avg_reward", "reward_std", "avg_steps",
+                          "steps_std", "success_steps", "success_std",
+                          "goal_perc"}
+        assert 0 <= m["goal_perc"] <= 1
+        assert m["avg_steps"] <= 30
+
+
+class TestTrainerLoop:
+    def test_short_train_run_and_resume(self, tmp_path):
+        prefix = str(tmp_path / "t")
+        base = dict(
+            save=prefix, envs=4, frames_per_trial=40, untouched_time=25,
+            chunk_len=40, evaluate_freq=32, repeat_games=4, memory=2000,
+            memory_threshold=50, explore=64, seed=3, snapshot_freq=32,
+        )
+        cfg = RunConfig(max_iter=40, **base)
+        Trainer(cfg).train()
+        files = os.listdir(tmp_path)
+        assert any("_actor_iter_" in f for f in files)
+        assert os.path.exists(prefix + "_metrics.jsonl")
+        recs = [json.loads(l) for l in open(prefix + "_metrics.jsonl")]
+        kinds = {r["kind"] for r in recs}
+        assert {"critic", "actor", "eval", "throughput"} <= kinds
+
+        # resume continues from the snapshot
+        cfg2 = RunConfig(max_iter=60, **base)
+        t2 = Trainer(cfg2)
+        assert int(t2.learner.iteration) > 0
+        t2.train()
+        assert int(t2.learner.iteration) >= 60
+
+    def test_benchmark_mode(self, tmp_path):
+        cfg = RunConfig(
+            save=str(tmp_path / "b"), benchmark=True, envs=4,
+            frames_per_trial=30, untouched_time=20, chunk_len=30,
+            memory=2000, memory_threshold=10, seed=3,
+        )
+        ms = Trainer(cfg).benchmark(iterations=10)
+        assert ms > 0
