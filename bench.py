@@ -38,9 +38,9 @@ def bench_env(n_envs: int, n_steps: int, repeats: int = 3) -> float:
             states, key = carry
             key, k = jax.random.split(key)
             out = random_actor_output(k, (n_envs,))
-            a, p1, p2 = decode_action(out)
+            a, p1, p2, p3 = decode_action(out)
             states, obs, info = venv.step(states, a[:, None], p1[:, None],
-                                          p2[:, None])
+                                          p2[:, None], p3[:, None])
             return (states, key), info.reward[:, 0].sum()
 
         (states, key), rs = jax.lax.scan(step, (states, key), None,

@@ -124,20 +124,25 @@ class HFOEnv:
         return state, obs
 
     # ------------------------------------------------------------------- step
-    def step(self, state: EnvState, actions, arg1, arg2):
+    def step(self, state: EnvState, actions, arg1, arg2, arg3=None):
         """Advance one cycle.
 
         Args:
-          actions: (A,) i32 action ids for the learning agents.
-          arg1, arg2: (A,) f32 parameters.
+          actions: (A,) i32 action ids for the learning agents — low-level
+            (DASH/TURN/TACKLE/KICK/CATCH/NOOP) or mid-level macros
+            (KICK_TO/MOVE_TO/DRIBBLE_TO/INTERCEPT, expanded in-graph).
+          arg1, arg2, arg3: (A,) f32 parameters (arg3: KICK_TO speed).
         Returns: (new_state, obs (A,F), StepInfo)
         """
         cfg, sp = self.cfg, self.sp
         P, A = cfg.n_players, cfg.offense_agents
+        if arg3 is None:
+            arg3 = jnp.zeros_like(arg1)
 
         full_act = jnp.zeros((P,), jnp.int32).at[:A].set(actions)
         full_a1 = jnp.zeros((P,), F32).at[:A].set(arg1)
         full_a2 = jnp.zeros((P,), F32).at[:A].set(arg2)
+        full_a3 = jnp.zeros((P,), F32).at[:A].set(arg3)
 
         # Offense NPCs: NOOP dummies. Defense NPCs: chaser or dummies.
         for i in range(A, cfg.n_offense):
@@ -152,6 +157,11 @@ class HFOEnv:
                 full_a2 = full_a2.at[i].set(p2)
             else:
                 full_act = full_act.at[i].set(C.NOOP)
+
+        # Expand mid-level macros (no-op for low-level ids).
+        from dqn_hfo_tpu.env.midlevel import expand_midlevel
+        full_act, full_a1, full_a2 = expand_midlevel(
+            sp, cfg, state, full_act, full_a1, full_a2, full_a3)
 
         knoise, knext = jax.random.split(state.rng)
         state = self._replace_rng(state, knext)
@@ -229,9 +239,11 @@ class VecHFOEnv:
         keys = jax.random.split(key, self.batch)
         return jax.vmap(self.env.reset)(keys)
 
-    def step(self, states, actions, arg1, arg2):
+    def step(self, states, actions, arg1, arg2, arg3=None):
+        if arg3 is None:
+            arg3 = jnp.zeros_like(arg1)
         new_states, obs, info = jax.vmap(self.env.step)(
-            states, actions, arg1, arg2
+            states, actions, arg1, arg2, arg3
         )
         # Auto-reset finished trials using each env's own rng stream.
         reset_keys = jax.vmap(lambda s: jax.random.fold_in(s.rng, 7))(new_states)
@@ -246,12 +258,14 @@ class VecHFOEnv:
         out_obs = sel(fresh_obs, obs)
         return out_states, out_obs, info
 
-    def step_absorb(self, states, actions, arg1, arg2):
+    def step_absorb(self, states, actions, arg1, arg2, arg3=None):
         """Evaluation stepping: finished trials freeze (no reset, no reward).
         Mirrors the fixed-horizon evaluation loop (dqn_main.cpp:171-204)."""
+        if arg3 is None:
+            arg3 = jnp.zeros_like(arg1)
         prev_done = states.status != C.IN_GAME
         new_states, obs, info = jax.vmap(self.env.step)(
-            states, actions, arg1, arg2
+            states, actions, arg1, arg2, arg3
         )
 
         def sel(old, new):

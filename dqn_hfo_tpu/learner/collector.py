@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from dqn_hfo_tpu import constants as C
+from dqn_hfo_tpu import spaces
 from dqn_hfo_tpu.learner import replay as rp
 from dqn_hfo_tpu.learner.agent import decode_action, select_actions
 from dqn_hfo_tpu.ops.returns import label_mask, mc_returns
@@ -65,7 +66,7 @@ def init_collector(venv, key, chunk_len: int) -> CollectorState:
 
 def rollout_chunk(cs: CollectorState, replay: rp.ReplayState, actor_params,
                   epsilon, venv, chunk_len: int, gamma: float,
-                  compute_dtype=None):
+                  compute_dtype=None, space=spaces.LOW_LEVEL):
     """Collect K steps, ingest into replay, label completed episodes.
 
     Returns (new CollectorState, new ReplayState, metrics dict of scalars).
@@ -75,10 +76,11 @@ def rollout_chunk(cs: CollectorState, replay: rp.ReplayState, actor_params,
         env_states, obs, replay, ep_ret, key = carry
         key, k_act = jax.random.split(key)
         actor_out = select_actions(actor_params, obs, k_act, epsilon,
-                                   compute_dtype)                 # (E, 10)
-        action, a1, a2 = decode_action(actor_out)
+                                   compute_dtype, space)          # (E, n_out)
+        action, a1, a2, a3 = decode_action(actor_out, space)
         env_states, obs2_full, info = venv.step(
-            env_states, action[:, None], a1[:, None], a2[:, None]
+            env_states, action[:, None], a1[:, None], a2[:, None],
+            a3[:, None]
         )
         obs2 = obs2_full[:, 0, :]
         reward = info.reward[:, 0]

@@ -31,10 +31,11 @@ import jax.numpy as jnp
 import optax
 
 from dqn_hfo_tpu import constants as C
+from dqn_hfo_tpu import spaces
 from dqn_hfo_tpu.learner import replay as rp
 from dqn_hfo_tpu.models.nets import (actor_apply, actor_init, critic_apply,
                                      critic_init)
-from dqn_hfo_tpu.ops.grad_inversion import invert_gradients
+from dqn_hfo_tpu.ops.grad_inversion import invert_gradients_bounded
 
 F32 = jnp.float32
 
@@ -58,6 +59,11 @@ class DDPGConfig:
     adam_eps: float = 1e-8
     memory_threshold: int = 1000
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for MXU throughput
+    action_space: str = "low_level"  # spaces.SPACES key
+
+    @property
+    def space(self) -> spaces.ActionSpace:
+        return spaces.SPACES[self.action_space]
 
 
 class LearnerState(NamedTuple):
@@ -81,8 +87,10 @@ def make_optimizer(lr, cfg: DDPGConfig):
 
 def init_learner(key, cfg: DDPGConfig) -> LearnerState:
     ka, kc, kr = jax.random.split(key, 3)
-    actor = actor_init(ka, cfg.state_size)
-    critic = critic_init(kc, cfg.state_size)
+    sp = cfg.space
+    actor = actor_init(ka, cfg.state_size, n_actions=sp.n_actions,
+                       n_params=sp.n_params)
+    critic = critic_init(kc, cfg.state_size, action_dim=sp.output_size)
     # Target nets start as clones (CloneNet, dqn.cpp:660-661).
     actor_target = jax.tree_util.tree_map(jnp.copy, actor)
     critic_target = jax.tree_util.tree_map(jnp.copy, critic)
@@ -116,8 +124,9 @@ def critic_loss_fn(critic, cfg: DDPGConfig, obs, action, target):
 def actor_loss_fn(actor, critic, cfg: DDPGConfig, obs):
     """-sum Q(s, invert(actor(s))): grad reproduces the reference's
     per-sample dL/dQ = -1 + gradient inversion + actor backward."""
+    mins, maxs = cfg.space.bounds_arrays()
     out = actor_apply(actor, obs, cfg.compute_dtype)
-    out = invert_gradients(out)
+    out = invert_gradients_bounded(out, mins, maxs)
     q = critic_apply(critic, obs, out, cfg.compute_dtype)
     return -jnp.sum(q), q
 

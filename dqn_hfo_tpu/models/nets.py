@@ -57,7 +57,9 @@ def _tower(params: Sequence[Params], x, dtype=None):
     return x
 
 
-def actor_init(key, state_size: int, tower: Sequence[int] = TOWER) -> Params:
+def actor_init(key, state_size: int, tower: Sequence[int] = TOWER,
+               n_actions: int = C.K_ACTION_SIZE,
+               n_params: int = C.K_ACTION_PARAM_SIZE) -> Params:
     keys = jax.random.split(key, len(tower) + 2)
     layers = []
     fan_in = state_size
@@ -66,8 +68,8 @@ def actor_init(key, state_size: int, tower: Sequence[int] = TOWER) -> Params:
         fan_in = width
     return {
         "tower": layers,
-        "action_head": _init_linear(keys[-2], fan_in, C.K_ACTION_SIZE),
-        "param_head": _init_linear(keys[-1], fan_in, C.K_ACTION_PARAM_SIZE),
+        "action_head": _init_linear(keys[-2], fan_in, n_actions),
+        "param_head": _init_linear(keys[-1], fan_in, n_params),
     }
 
 
@@ -79,10 +81,12 @@ def actor_apply(params: Params, states, dtype=None):
     return jnp.concatenate([actions, action_params], axis=-1)
 
 
-def critic_init(key, state_size: int, tower: Sequence[int] = TOWER) -> Params:
+def critic_init(key, state_size: int, tower: Sequence[int] = TOWER,
+                action_dim: int = C.K_ACTION_SIZE + C.K_ACTION_PARAM_SIZE
+                ) -> Params:
     keys = jax.random.split(key, len(tower) + 1)
     layers = []
-    fan_in = state_size + C.K_ACTION_SIZE + C.K_ACTION_PARAM_SIZE
+    fan_in = state_size + action_dim
     for i, width in enumerate(tower):
         layers.append(_init_linear(keys[i], fan_in, width))
         fan_in = width

@@ -45,7 +45,8 @@ def invert_scale(g, x, mins=_MINS, maxs=_MAXS):
 
 @jax.custom_vjp
 def invert_gradients(actor_out):
-    """Identity on (B, 10) ActorOutput; backward applies gradient inversion."""
+    """Identity on (B, 10) ActorOutput (low-level space); backward applies
+    gradient inversion."""
     return actor_out
 
 
@@ -59,3 +60,22 @@ def _bwd(res, g):
 
 
 invert_gradients.defvjp(_fwd, _bwd)
+
+
+@jax.custom_vjp
+def invert_gradients_bounded(actor_out, mins, maxs):
+    """Identity with gradient inversion for an arbitrary ActionSpace's
+    bounds (spaces.ActionSpace.bounds_arrays)."""
+    return actor_out
+
+
+def _fwd_b(actor_out, mins, maxs):
+    return actor_out, (actor_out, mins, maxs)
+
+
+def _bwd_b(res, g):
+    x, mins, maxs = res
+    return invert_scale(g, x, mins, maxs), jnp.zeros_like(mins), jnp.zeros_like(maxs)
+
+
+invert_gradients_bounded.defvjp(_fwd_b, _bwd_b)

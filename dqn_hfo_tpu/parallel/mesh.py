@@ -110,7 +110,8 @@ class DataParallel:
             cs = init_collector(self.venv_shard, k, self.chunk_len)
             rs = rp.init_replay(self.memory // self.n_shards,
                                 self.env_per_shard,
-                                self.dcfg.state_size)
+                                self.dcfg.state_size,
+                                action_size=self.dcfg.space.output_size)
             return cs, rs
 
         self._init_fn = jax.jit(_init)
@@ -124,7 +125,7 @@ class DataParallel:
         def _step(ls, cs, rs, eps, n_updates):
             cs, rs, m = rollout_chunk(
                 cs, rs, ls.actor, eps, self.venv_shard, self.chunk_len,
-                self.gamma, self.compute_dtype,
+                self.gamma, self.compute_dtype, self.dcfg.space,
             )
             m = jax.tree_util.tree_map(
                 lambda x: jax.lax.psum(x, "data"), m)

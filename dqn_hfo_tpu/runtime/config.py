@@ -87,6 +87,9 @@ class RunConfig:
     untouched_time: int = 100
     noise_scale: float = 1.0
 
+    # --- Action space: low_level (reference parity) or mid_level macros ---
+    action_space: str = "low_level"
+
     # --- TPU-native batching/distribution (new) ---
     envs: int = 8                 # lockstep env instances
     chunk_len: int = 0            # 0 -> frames_per_trial (window invariant)

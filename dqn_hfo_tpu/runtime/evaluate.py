@@ -19,12 +19,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from dqn_hfo_tpu import constants as C
+from dqn_hfo_tpu import spaces as sp_mod
 from dqn_hfo_tpu.env.hfo_env import VecHFOEnv
 from dqn_hfo_tpu.learner.agent import decode_action, select_actions
 
 
 def _eval_scan(actor_params, key, venv: VecHFOEnv, n_steps: int,
-               epsilon: float, compute_dtype=None):
+               epsilon: float, compute_dtype=None,
+               space=sp_mod.LOW_LEVEL):
     k_env, k_act = jax.random.split(key)
     states, obs = venv.reset(k_env)
 
@@ -32,10 +34,10 @@ def _eval_scan(actor_params, key, venv: VecHFOEnv, n_steps: int,
         states, obs, key, ep_reward = carry
         key, k = jax.random.split(key)
         actor_out = select_actions(actor_params, obs[:, 0, :], k, epsilon,
-                                   compute_dtype)
-        action, a1, a2 = decode_action(actor_out)
+                                   compute_dtype, space)
+        action, a1, a2, a3 = decode_action(actor_out, space)
         states, obs, info = venv.step_absorb(
-            states, action[:, None], a1[:, None], a2[:, None]
+            states, action[:, None], a1[:, None], a2[:, None], a3[:, None]
         )
         ep_reward = ep_reward + info.reward[:, 0]
         return (states, obs, key, ep_reward), None
@@ -60,10 +62,10 @@ def _avg_std(x: np.ndarray):
 
 class Evaluator:
     def __init__(self, venv: VecHFOEnv, n_steps: int, epsilon: float,
-                 compute_dtype=None):
+                 compute_dtype=None, space=sp_mod.LOW_LEVEL):
         self._fn = jax.jit(functools.partial(
             _eval_scan, venv=venv, n_steps=n_steps, epsilon=epsilon,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, space=space,
         ))
 
     def __call__(self, actor_params, key) -> Dict[str, float]:

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dqn_hfo_tpu import constants as C
+from dqn_hfo_tpu import spaces as sp_mod
 from dqn_hfo_tpu.constants import DEFAULT_PARAMS, ServerParams
 from dqn_hfo_tpu.env.hfo_env import HFOEnv, VecHFOEnv
 from dqn_hfo_tpu.env.state import EnvConfig
@@ -69,8 +70,10 @@ class Trainer:
         self.state_size = env_cfg.state_size
         self.compute_dtype = jnp.bfloat16 if cfg.bf16 else None
 
+        self.space = sp_mod.SPACES[cfg.action_space]
         self.dcfg = DDPGConfig(
             state_size=self.state_size,
+            action_space=cfg.action_space,
             gamma=cfg.gamma,
             tau=cfg.tau,
             soft_update_freq=cfg.soft_update_freq,
@@ -87,7 +90,8 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed)
         k_learn, k_coll, self._eval_key = jax.random.split(key, 3)
         self.learner = init_learner(k_learn, self.dcfg)
-        self.replay = rp.init_replay(cfg.memory, cfg.envs, self.state_size)
+        self.replay = rp.init_replay(cfg.memory, cfg.envs, self.state_size,
+                                     action_size=self.space.output_size)
         self.collector = init_collector(self.venv, k_coll, cfg.chunk_len)
 
         self.updates_per_chunk = int(cfg.envs * cfg.chunk_len *
@@ -95,6 +99,7 @@ class Trainer:
         self._roll = jax.jit(functools.partial(
             rollout_chunk, venv=self.venv, chunk_len=cfg.chunk_len,
             gamma=cfg.gamma, compute_dtype=self.compute_dtype,
+            space=self.space,
         ), donate_argnums=(0, 1))
         self._update = jax.jit(functools.partial(
             update_n, cfg=self.dcfg,
@@ -104,7 +109,7 @@ class Trainer:
         eval_env = VecHFOEnv(self.env, cfg.repeat_games)
         self.evaluator = Evaluator(eval_env, cfg.frames_per_trial,
                                    cfg.evaluate_with_epsilon,
-                                   self.compute_dtype)
+                                   self.compute_dtype, self.space)
 
         self.episode_count = 0
         self.best_score = -float("inf")

@@ -22,7 +22,7 @@ from dqn_hfo_tpu.learner.ddpg import (DDPGConfig, init_learner, update_n,
 class TestAgentMachinery:
     def test_decode_excludes_tackle(self):
         out = jnp.zeros((4, 10)).at[:, C.TACKLE].set(99.0)
-        a, _, _ = decode_action(out)
+        a, _, _, _ = decode_action(out)
         assert not np.any(np.asarray(a) == C.TACKLE)
 
     def test_decode_param_slots(self):
@@ -30,18 +30,18 @@ class TestAgentMachinery:
         out = jnp.zeros((1, 10))
         out = out.at[0, C.DASH].set(1.0)
         out = out.at[0, 4 + 0].set(55.0).at[0, 4 + 1].set(-30.0)
-        a, p1, p2 = decode_action(out)
+        a, p1, p2, _ = decode_action(out)
         assert int(a[0]) == C.DASH
         assert float(p1[0]) == 55.0 and float(p2[0]) == -30.0
         # turn wins: arg1 = params[2], arg2 = 0
         out = jnp.zeros((1, 10)).at[0, C.TURN].set(1.0).at[0, 4 + 2].set(77.0)
-        a, p1, p2 = decode_action(out)
+        a, p1, p2, _ = decode_action(out)
         assert int(a[0]) == C.TURN
         assert float(p1[0]) == 77.0 and float(p2[0]) == 0.0
         # kick wins: arg1 = params[4], arg2 = params[5]
         out = (jnp.zeros((1, 10)).at[0, C.KICK].set(1.0)
                .at[0, 4 + 4].set(88.0).at[0, 4 + 5].set(12.0))
-        a, p1, p2 = decode_action(out)
+        a, p1, p2, _ = decode_action(out)
         assert int(a[0]) == C.KICK
         assert float(p1[0]) == 88.0 and float(p2[0]) == 12.0
 
