@@ -21,6 +21,15 @@ import time
 import jax
 import jax.numpy as jnp
 
+try:  # persistent compile cache: repeat runs skip the ~3min XLA compile
+    import os as _os
+    _cache = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                           ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 BASELINE_STEPS_PER_S = 1_000_000.0
 
 
@@ -49,7 +58,7 @@ def bench_env(n_envs: int, n_steps: int, repeats: int = 3) -> float:
 
     chunk = jax.jit(chunk, donate_argnums=(0,))
     key = jax.random.PRNGKey(0)
-    states, _ = venv.reset(key)
+    states, _ = jax.jit(venv.reset)(key)
     # compile + warmup
     states, key, _ = chunk(states, key)
     jax.block_until_ready(states.ball_pos)
@@ -100,16 +109,17 @@ def main():
                     help="small shapes (CPU-friendly)")
     ap.add_argument("--envs", type=int, default=0)
     ap.add_argument("--steps", type=int, default=0)
-    ap.add_argument("--skip-update-bench", action="store_true")
+    ap.add_argument("--with-update-bench", action="store_true",
+                    help="also time the actor-critic update (extra compile)")
     args = ap.parse_args()
 
     n_envs = args.envs or (256 if args.quick else 4096)
-    n_steps = args.steps or (100 if args.quick else 500)
+    n_steps = args.steps or (100 if args.quick else 250)
 
     sps = bench_env(n_envs, n_steps)
     print(f"# env throughput: {sps:,.0f} env-steps/s "
           f"({n_envs} envs x {n_steps} steps)", file=sys.stderr)
-    if not args.skip_update_bench:
+    if args.with_update_bench:
         ms = bench_update(50 if args.quick else 200)
         print(f"# avg actor-critic update: {ms:.3f} ms", file=sys.stderr)
 

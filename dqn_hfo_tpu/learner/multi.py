@@ -1,0 +1,305 @@
+"""Multi-agent training: N learning agents in each env instance.
+
+Reference mechanisms mapped (SURVEY.md §2 P1-P3):
+
+- P1 thread-per-agent  ->  an agent axis: per-agent param pytrees stacked on
+  a leading A axis, updated by a vmapped (independent) or unrolled (shared)
+  learner step inside one jitted program.
+- P2 shared replay (pointer aliasing + mutex, dqn.cpp:1081-1083) -> one
+  replay whose env axis is the flattened (A, E) agent-env grid; "shared"
+  means every agent samples the whole buffer, "unshared" restricts each
+  agent to its own column block.  No locks: updates are pure.
+- P3 cross-agent parameter sharing (ShareData on the first N param-bearing
+  layers, agent 0 owner; dqn.cpp:1037-1079) -> after each agent's Adam step,
+  the shared prefix is propagated to the next agent, serializing the
+  concurrent-mutation semantics of the reference deterministically.
+
+HFO trials end for all agents simultaneously (one referee), so the done
+mask is per-env and broadcasts across the agent axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dqn_hfo_tpu import constants as C
+from dqn_hfo_tpu import spaces
+from dqn_hfo_tpu.learner import replay as rp
+from dqn_hfo_tpu.learner.agent import decode_action, select_actions
+from dqn_hfo_tpu.learner.collector import CollectorState, WindowState
+from dqn_hfo_tpu.learner.ddpg import (DDPGConfig, LearnerState, init_learner,
+                                      make_optimizer, update_once)
+from dqn_hfo_tpu.ops.returns import label_mask, mc_returns
+
+F32 = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiConfig:
+    n_agents: int
+    share_actor_layers: int = 0
+    share_critic_layers: int = 0
+    share_replay: bool = False
+
+
+def init_multi_learner(key, dcfg: DDPGConfig, mcfg: MultiConfig):
+    """Stacked LearnerState with leading agent axis A.
+
+    With layer sharing, agent 0's arrays are broadcast into every agent's
+    shared prefix (ShareParameters at startup, dqn_main.cpp:305-315)."""
+    keys = jax.random.split(key, mcfg.n_agents)
+    mls = jax.vmap(lambda k: init_learner(k, dcfg))(keys)
+    if mcfg.share_actor_layers > 0 or mcfg.share_critic_layers > 0:
+        mls = _broadcast_shared(mls, mcfg)
+    return mls
+
+
+def _shared_leaf_paths(params, n_layers: int):
+    """Names of the first n param-bearing layers in net order."""
+    names = []
+    for i in range(len(params["tower"])):
+        if len(names) >= n_layers:
+            return names
+        names.append(("tower", i))
+    for head in ("action_head", "param_head", "q_head"):
+        if head in params and len(names) < n_layers:
+            names.append((head,))
+    return names
+
+
+def _copy_shared(src, dst, n_layers: int):
+    """Return dst with its first n param-bearing layers replaced by src's."""
+    if n_layers <= 0:
+        return dst
+    out = dict(dst)
+    out["tower"] = list(dst["tower"])
+    for path in _shared_leaf_paths(dst, n_layers):
+        if path[0] == "tower":
+            out["tower"][path[1]] = src["tower"][path[1]]
+        else:
+            out[path[0]] = src[path[0]]
+    return out
+
+
+def _broadcast_shared(mls: LearnerState, mcfg: MultiConfig) -> LearnerState:
+    """Set every agent's shared prefix to agent 0's arrays (incl. targets)."""
+
+    def bcast(net_stacked, n_layers):
+        if n_layers <= 0:
+            return net_stacked
+        template = jax.tree_util.tree_map(lambda x: x[0], net_stacked)
+        out = dict(net_stacked)
+        out["tower"] = list(net_stacked["tower"])
+        for p in _shared_leaf_paths(template, n_layers):
+            sub = out["tower"][p[1]] if p[0] == "tower" else out[p[0]]
+            fixed = jax.tree_util.tree_map(
+                lambda s: jnp.broadcast_to(s[0][None], s.shape), sub)
+            if p[0] == "tower":
+                out["tower"][p[1]] = fixed
+            else:
+                out[p[0]] = fixed
+        return out
+
+    return mls._replace(
+        actor=bcast(mls.actor, mcfg.share_actor_layers),
+        critic=bcast(mls.critic, mcfg.share_critic_layers),
+        actor_target=bcast(mls.actor_target, mcfg.share_actor_layers),
+        critic_target=bcast(mls.critic_target, mcfg.share_critic_layers),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollout (multi-agent)
+# ---------------------------------------------------------------------------
+
+def init_multi_collector(venv, key, chunk_len: int,
+                         n_agents: int) -> CollectorState:
+    k_env, k_rng = jax.random.split(key)
+    env_states, obs = venv.reset(k_env)       # obs (E, A, F)
+    E = obs.shape[0]
+    cols = n_agents * E
+    window = WindowState(
+        rewards=jnp.zeros((chunk_len, cols), F32),
+        dones=jnp.ones((chunk_len, cols), bool),
+        abs_ids=jnp.full((chunk_len,), -1, jnp.int32),
+    )
+    return CollectorState(
+        env_states=env_states,
+        obs=obs,                               # keep full (E, A, F)
+        window=window,
+        ep_return=jnp.zeros((E, n_agents), F32),
+        rng=k_rng[None],
+    )
+
+
+def multi_rollout_chunk(cs: CollectorState, replay: rp.ReplayState,
+                        actors_stacked, epsilon, venv, chunk_len: int,
+                        gamma: float, n_agents: int, compute_dtype=None,
+                        space=spaces.LOW_LEVEL):
+    """Collect K steps for A agents x E envs; replay env axis is the (A, E)
+    grid flattened agent-major (col = a*E + e)."""
+    A = n_agents
+
+    def step_fn(carry, _):
+        env_states, obs, replay, ep_ret, key = carry
+        key, *aks = jax.random.split(key, A + 1)
+        outs = []
+        for a in range(A):
+            p_a = jax.tree_util.tree_map(lambda x: x[a], actors_stacked)
+            outs.append(select_actions(p_a, obs[:, a, :], aks[a], epsilon,
+                                       compute_dtype, space))
+        actor_out = jnp.stack(outs, axis=1)            # (E, A, n_out)
+        act, a1, a2, a3 = decode_action(actor_out, space)
+        env_states, obs2, info = venv.step(env_states, act, a1, a2, a3)
+        reward = info.reward                            # (E, A)
+        done = info.done                                # (E,)
+
+        # flatten to the (A*E,) replay env axis, agent-major
+        def flat(x):  # (E, A, ...) -> (A*E, ...)
+            return jnp.swapaxes(x, 0, 1).reshape((A * x.shape[0],) + x.shape[2:])
+
+        replay, sid = rp.write_step(
+            replay,
+            flat(obs), flat(actor_out), flat(reward),
+            flat(obs2), jnp.tile(done, A),
+        )
+        ep_ret = ep_ret + reward
+        done_ret = jnp.where(done[:, None], ep_ret, 0.0)
+        ep_ret = jnp.where(done[:, None], 0.0, ep_ret)
+        stats = (
+            flat(reward), jnp.tile(done, A), sid,
+            jnp.sum(done.astype(jnp.int32)),
+            jnp.sum(done_ret[:, 0]),
+            jnp.sum(jnp.where(done, info.steps, 0)),
+            jnp.sum((done & (info.status == C.GOAL)).astype(jnp.int32)),
+        )
+        return (env_states, obs2, replay, ep_ret, key), stats
+
+    carry = (cs.env_states, cs.obs, replay, cs.ep_return, cs.rng[0])
+    carry, ys = jax.lax.scan(step_fn, carry, None, length=chunk_len)
+    env_states, obs, replay, ep_ret, key = carry
+    rews, dones, ids, n_eps, sum_ret, sum_steps, n_goals = ys
+
+    w_r = jnp.concatenate([cs.window.rewards, rews], axis=0)
+    w_d = jnp.concatenate([cs.window.dones, dones], axis=0)
+    w_i = jnp.concatenate([cs.window.abs_ids, ids], axis=0)
+    targets = mc_returns(w_r, w_d, gamma)
+    mask = label_mask(w_d, chunk_len)
+    replay = rp.label_rows(replay, w_i, targets, mask)
+
+    new_cs = CollectorState(
+        env_states=env_states, obs=obs,
+        window=WindowState(rewards=rews, dones=dones, abs_ids=ids),
+        ep_return=ep_ret, rng=key[None],
+    )
+    metrics = {
+        "episodes": jnp.sum(n_eps),
+        "sum_episode_return": jnp.sum(sum_ret),
+        "sum_episode_steps": jnp.sum(sum_steps),
+        "goals": jnp.sum(n_goals),
+        "env_steps": jnp.asarray(chunk_len * cs.obs.shape[0], jnp.int32),
+    }
+    return new_cs, replay, metrics
+
+
+# ---------------------------------------------------------------------------
+# Update (multi-agent)
+# ---------------------------------------------------------------------------
+
+def _agent_replay_view(replay: rp.ReplayState, agent: int, n_agents: int,
+                       shared: bool) -> rp.ReplayState:
+    """Restrict validity to one agent's column block unless shared."""
+    if shared:
+        return replay
+    E = replay.valid.shape[1] // n_agents
+    col = jax.lax.broadcasted_iota(jnp.int32, replay.valid.shape, 1)
+    mine = (col >= agent * E) & (col < (agent + 1) * E)
+    return replay._replace(valid=replay.valid & mine)
+
+
+def multi_update_once(mls: LearnerState, replay: rp.ReplayState,
+                      dcfg: DDPGConfig, mcfg: MultiConfig):
+    """One iteration for every agent.
+
+    Without sharing the agents are independent (unrolled for per-agent
+    replay views); with sharing, each agent's step starts from the shared
+    prefix left by the previous agent — the deterministic serialization of
+    the reference's concurrent ShareData mutation."""
+    A = mcfg.n_agents
+    per_agent = [jax.tree_util.tree_map(lambda x: x[a], mls)
+                 for a in range(A)]
+    metrics = []
+    for a in range(A):
+        ls = per_agent[a]
+        if a > 0:
+            prev = per_agent[a - 1]
+            ls = ls._replace(
+                actor=_copy_shared(prev.actor, ls.actor,
+                                   mcfg.share_actor_layers),
+                critic=_copy_shared(prev.critic, ls.critic,
+                                    mcfg.share_critic_layers),
+                actor_target=_copy_shared(prev.actor_target, ls.actor_target,
+                                          mcfg.share_actor_layers),
+                critic_target=_copy_shared(prev.critic_target,
+                                           ls.critic_target,
+                                           mcfg.share_critic_layers),
+            )
+        view = _agent_replay_view(replay, a, A, mcfg.share_replay)
+        ls, m = update_once(ls, view, dcfg)
+        per_agent[a] = ls
+        metrics.append(m)
+    # propagate the final shared prefix back to every agent
+    if mcfg.share_actor_layers > 0 or mcfg.share_critic_layers > 0:
+        last = per_agent[-1]
+        for a in range(A - 1):
+            per_agent[a] = per_agent[a]._replace(
+                actor=_copy_shared(last.actor, per_agent[a].actor,
+                                   mcfg.share_actor_layers),
+                critic=_copy_shared(last.critic, per_agent[a].critic,
+                                    mcfg.share_critic_layers),
+                actor_target=_copy_shared(last.actor_target,
+                                          per_agent[a].actor_target,
+                                          mcfg.share_actor_layers),
+                critic_target=_copy_shared(last.critic_target,
+                                           per_agent[a].critic_target,
+                                           mcfg.share_critic_layers),
+            )
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *per_agent)
+    closs = jnp.mean(jnp.stack([m[0] for m in metrics]))
+    avg_q = jnp.mean(jnp.stack([m[1] for m in metrics]))
+    return stacked, (closs, avg_q)
+
+
+def multi_update_n(mls, replay, dcfg: DDPGConfig, mcfg: MultiConfig,
+                   n_updates, max_updates: int):
+    count = rp.valid_count(replay)
+    enough = count >= dcfg.memory_threshold
+
+    def body(carry, i):
+        state = carry
+        do = (i < n_updates) & enough
+
+        def run(s):
+            return multi_update_once(s, replay, dcfg, mcfg)
+
+        def skip(s):
+            return s, (jnp.asarray(0.0, F32), jnp.asarray(0.0, F32))
+
+        state, m = jax.lax.cond(do, run, skip, state)
+        return state, m + (do,)
+
+    mls, (losses, qs, dids) = jax.lax.scan(
+        body, mls, jnp.arange(max_updates, dtype=jnp.int32))
+    n_done = jnp.sum(dids.astype(jnp.int32))
+    denom = jnp.maximum(n_done, 1)
+    return mls, {
+        "critic_loss": jnp.sum(losses) / denom,
+        "avg_q": jnp.sum(qs) / denom,
+        "updates": n_done,
+    }

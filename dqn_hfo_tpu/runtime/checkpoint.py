@@ -51,14 +51,16 @@ def _load_pickle_npz(path: str) -> dict:
 
 def snapshot(prefix: str, ls: LearnerState, replay: Optional[rp.ReplayState],
              snapshot_memory: bool = True, remove_old: bool = False):
-    """Write the snapshot triple at the learner's current iteration."""
-    it = int(ls.iteration)
+    """Write the snapshot triple at the learner's current iteration.
+    Works for single (scalar iteration) and stacked multi-agent learners."""
+    it = int(np.max(np.asarray(ls.iteration)))
     actor_path = f"{prefix}_actor_iter_{it}.npz"
     critic_path = f"{prefix}_critic_iter_{it}.npz"
     _save_pickle_npz(actor_path, {
         "params": _tree_to_np(ls.actor),
         "opt": _tree_to_np(ls.actor_opt),
         "iter": it,
+        "iter_array": np.asarray(ls.iteration),
         "rng": np.asarray(ls.rng),
     })
     _save_pickle_npz(critic_path, {
@@ -154,11 +156,13 @@ def restore_learner(ls: LearnerState, actor_path: str = "",
     re-cloned from the restored live nets (dqn.cpp:541-557)."""
     actor, actor_opt = ls.actor, ls.actor_opt
     critic, critic_opt = ls.critic, ls.critic_opt
-    it = int(ls.iteration)
+    it = int(np.max(np.asarray(ls.iteration)))
     rng = ls.rng
+    iter_array = None
     if actor_path:
         d = _load_pickle_npz(actor_path)
         actor, actor_opt, it = d["params"], d["opt"], int(d["iter"])
+        iter_array = d.get("iter_array")
         rng = jnp.asarray(d["rng"]) if "rng" in d else rng
     elif actor_weights:
         actor = _load_pickle_npz(actor_weights)["params"]
@@ -171,6 +175,8 @@ def restore_learner(ls: LearnerState, actor_path: str = "",
 
     to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
     actor, critic = to_dev(actor), to_dev(critic)
+    iteration = (jnp.asarray(iter_array, jnp.int32) if iter_array is not None
+                 else jnp.asarray(it, jnp.int32))
     return LearnerState(
         actor=actor,
         critic=critic,
@@ -178,7 +184,7 @@ def restore_learner(ls: LearnerState, actor_path: str = "",
         critic_target=jax.tree_util.tree_map(jnp.copy, critic),
         actor_opt=to_dev(actor_opt),
         critic_opt=to_dev(critic_opt),
-        iteration=jnp.asarray(it, jnp.int32),
+        iteration=iteration,
         rng=rng,
     )
 

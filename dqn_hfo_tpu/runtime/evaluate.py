@@ -26,19 +26,30 @@ from dqn_hfo_tpu.learner.agent import decode_action, select_actions
 
 def _eval_scan(actor_params, key, venv: VecHFOEnv, n_steps: int,
                epsilon: float, compute_dtype=None,
-               space=sp_mod.LOW_LEVEL):
+               space=sp_mod.LOW_LEVEL, n_agents: int = 1):
+    """actor_params: single pytree (n_agents==1) or stacked leading-A."""
     k_env, k_act = jax.random.split(key)
     states, obs = venv.reset(k_env)
+
+    def select(obs, key):
+        if n_agents == 1:
+            out = select_actions(actor_params, obs[:, 0, :], key, epsilon,
+                                 compute_dtype, space)
+            return out[:, None, :]
+        keys = jax.random.split(key, n_agents)
+        outs = []
+        for a in range(n_agents):
+            p_a = jax.tree_util.tree_map(lambda x: x[a], actor_params)
+            outs.append(select_actions(p_a, obs[:, a, :], keys[a], epsilon,
+                                       compute_dtype, space))
+        return jnp.stack(outs, axis=1)
 
     def step_fn(carry, _):
         states, obs, key, ep_reward = carry
         key, k = jax.random.split(key)
-        actor_out = select_actions(actor_params, obs[:, 0, :], k, epsilon,
-                                   compute_dtype, space)
+        actor_out = select(obs, k)
         action, a1, a2, a3 = decode_action(actor_out, space)
-        states, obs, info = venv.step_absorb(
-            states, action[:, None], a1[:, None], a2[:, None], a3[:, None]
-        )
+        states, obs, info = venv.step_absorb(states, action, a1, a2, a3)
         ep_reward = ep_reward + info.reward[:, 0]
         return (states, obs, key, ep_reward), None
 
@@ -62,10 +73,11 @@ def _avg_std(x: np.ndarray):
 
 class Evaluator:
     def __init__(self, venv: VecHFOEnv, n_steps: int, epsilon: float,
-                 compute_dtype=None, space=sp_mod.LOW_LEVEL):
+                 compute_dtype=None, space=sp_mod.LOW_LEVEL,
+                 n_agents: int = 1):
         self._fn = jax.jit(functools.partial(
             _eval_scan, venv=venv, n_steps=n_steps, epsilon=epsilon,
-            compute_dtype=compute_dtype, space=space,
+            compute_dtype=compute_dtype, space=space, n_agents=n_agents,
         ))
 
     def __call__(self, actor_params, key) -> Dict[str, float]:

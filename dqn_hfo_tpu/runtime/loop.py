@@ -89,31 +89,67 @@ class Trainer:
 
         key = jax.random.PRNGKey(cfg.seed)
         k_learn, k_coll, self._eval_key = jax.random.split(key, 3)
-        self.learner = init_learner(k_learn, self.dcfg)
-        self.replay = rp.init_replay(cfg.memory, cfg.envs, self.state_size,
-                                     action_size=self.space.output_size)
-        self.collector = init_collector(self.venv, k_coll, cfg.chunk_len)
-
+        self.n_agents = cfg.offense_agents
         self.updates_per_chunk = int(cfg.envs * cfg.chunk_len *
                                      cfg.update_ratio)
-        self._roll = jax.jit(functools.partial(
-            rollout_chunk, venv=self.venv, chunk_len=cfg.chunk_len,
-            gamma=cfg.gamma, compute_dtype=self.compute_dtype,
-            space=self.space,
-        ), donate_argnums=(0, 1))
-        self._update = jax.jit(functools.partial(
-            update_n, cfg=self.dcfg,
-            max_updates=max(self.updates_per_chunk, 1),
-        ), donate_argnums=(0,))
+        if self.n_agents == 1:
+            self.learner = init_learner(k_learn, self.dcfg)
+            self.replay = rp.init_replay(
+                cfg.memory, cfg.envs, self.state_size,
+                action_size=self.space.output_size)
+            self.collector = init_collector(self.venv, k_coll, cfg.chunk_len)
+            self._roll = jax.jit(functools.partial(
+                rollout_chunk, venv=self.venv, chunk_len=cfg.chunk_len,
+                gamma=cfg.gamma, compute_dtype=self.compute_dtype,
+                space=self.space,
+            ), donate_argnums=(0, 1))
+            self._update = jax.jit(functools.partial(
+                update_n, cfg=self.dcfg,
+                max_updates=max(self.updates_per_chunk, 1),
+            ), donate_argnums=(0,))
+        else:
+            # Multi-agent: stacked learners, agent-major replay columns,
+            # optional layer sharing / shared replay (reference P1-P3).
+            from dqn_hfo_tpu.learner.multi import (
+                MultiConfig, init_multi_collector, init_multi_learner,
+                multi_rollout_chunk, multi_update_n)
+            self.mcfg = MultiConfig(
+                n_agents=self.n_agents,
+                share_actor_layers=cfg.share_actor_layers,
+                share_critic_layers=cfg.share_critic_layers,
+                share_replay=cfg.share_replay_memory,
+            )
+            self.learner = init_multi_learner(k_learn, self.dcfg, self.mcfg)
+            self.replay = rp.init_replay(
+                cfg.memory, self.n_agents * cfg.envs, self.state_size,
+                action_size=self.space.output_size)
+            self.collector = init_multi_collector(
+                self.venv, k_coll, cfg.chunk_len, self.n_agents)
+            _mroll = functools.partial(
+                multi_rollout_chunk, venv=self.venv, chunk_len=cfg.chunk_len,
+                gamma=cfg.gamma, n_agents=self.n_agents,
+                compute_dtype=self.compute_dtype, space=self.space)
+            self._roll = jax.jit(
+                lambda cs, rs, actors, eps: _mroll(cs, rs, actors, eps),
+                donate_argnums=(0, 1))
+            self._update = jax.jit(functools.partial(
+                multi_update_n, dcfg=self.dcfg, mcfg=self.mcfg,
+                max_updates=max(self.updates_per_chunk, 1),
+            ), donate_argnums=(0,))
 
         eval_env = VecHFOEnv(self.env, cfg.repeat_games)
         self.evaluator = Evaluator(eval_env, cfg.frames_per_trial,
                                    cfg.evaluate_with_epsilon,
-                                   self.compute_dtype, self.space)
+                                   self.compute_dtype, self.space,
+                                   n_agents=self.n_agents)
 
         self.episode_count = 0
         self.best_score = -float("inf")
         self._maybe_resume()
+
+    def _iter(self) -> int:
+        import numpy as _np
+        return int(_np.max(_np.asarray(self.learner.iteration)))
 
     # ------------------------------------------------------------------ util
     def _maybe_resume(self):
@@ -141,7 +177,7 @@ class Trainer:
                 self.learner, actor_p, critic_p,
                 cfg.actor_weights, cfg.critic_weights,
             )
-            self.log.info(f"Restored learner at iter {int(self.learner.iteration)}")
+            self.log.info(f"Restored learner at iter {self._iter()}")
         if mem_p:
             self.replay = ckpt.load_replay(mem_p)
             self.log.info(
@@ -167,11 +203,11 @@ class Trainer:
     # ----------------------------------------------------------------- modes
     def train(self):
         cfg = self.cfg
-        last_eval_iter = int(self.learner.iteration)
-        last_snapshot_iter = int(self.learner.iteration)
-        while int(self.learner.iteration) < cfg.max_iter:
+        last_eval_iter = self._iter()
+        last_snapshot_iter = self._iter()
+        while self._iter() < cfg.max_iter:
             t0 = time.time()
-            eps = calculate_epsilon(self.learner.iteration, cfg.explore,
+            eps = calculate_epsilon(jnp.asarray(self._iter()), cfg.explore,
                                     cfg.epsilon)
             self.collector, self.replay, m = self._roll(
                 self.collector, self.replay, self.learner.actor, eps)
@@ -185,7 +221,7 @@ class Trainer:
                 avg_ret = float(m["sum_episode_return"]) / n_eps
                 self.episode_count += n_eps
                 self.log.episode(self.episode_count, avg_ret)
-            it = int(self.learner.iteration)
+            it = self._iter()
             self.log.critic_loss(it, float(um["critic_loss"]))
             self.log.actor_q(it, float(um["avg_q"]))
             self.log.throughput(int(m["env_steps"]), int(um["updates"]), dt)
@@ -212,7 +248,7 @@ class Trainer:
     def evaluate_mode(self):
         self._eval_key, k = jax.random.split(self._eval_key)
         em = self.evaluator(self.learner.actor, k)
-        self.log.evaluation(int(self.learner.iteration), em)
+        self.log.evaluation(self._iter(), em)
         return em
 
     def benchmark(self, iterations: int = 1000):
@@ -240,14 +276,14 @@ class Trainer:
     def learn_offline(self):
         """--learn_offline: updates on a fixed replay (dqn_main.cpp:340-349)."""
         cfg = self.cfg
-        while int(self.learner.iteration) < cfg.max_iter:
+        while self._iter() < cfg.max_iter:
             self.learner, um = self._update(
                 self.learner, self.replay,
                 n_updates=jnp.asarray(self.updates_per_chunk, jnp.int32))
             if int(um["updates"]) == 0:
                 self.log.info("Replay below memory_threshold; stopping.")
                 break
-            it = int(self.learner.iteration)
+            it = self._iter()
             self.log.critic_loss(it, float(um["critic_loss"]))
             self.log.actor_q(it, float(um["avg_q"]))
         self._snapshot()

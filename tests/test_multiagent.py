@@ -1,0 +1,101 @@
+"""Multi-agent training tests: agent axis, layer sharing (P3), shared
+replay (P2)."""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dqn_hfo_tpu.constants import DEFAULT_PARAMS
+from dqn_hfo_tpu.env.hfo_env import HFOEnv, VecHFOEnv
+from dqn_hfo_tpu.env.state import EnvConfig
+from dqn_hfo_tpu.learner import replay as rp
+from dqn_hfo_tpu.learner.ddpg import DDPGConfig
+from dqn_hfo_tpu.learner.multi import (MultiConfig, init_multi_collector,
+                                       init_multi_learner,
+                                       multi_rollout_chunk, multi_update_n)
+
+A, E, K = 2, 4, 32
+SP = dataclasses.replace(DEFAULT_PARAMS, frames_per_trial=24,
+                         untouched_time=16)
+
+
+def setup(share_actor=0, share_critic=0, share_replay=False, seed=0):
+    env = HFOEnv(EnvConfig(offense_agents=A), SP, noise_scale=1.0)
+    venv = VecHFOEnv(env, E)
+    dcfg = DDPGConfig(state_size=env.cfg.state_size, memory_threshold=32)
+    mcfg = MultiConfig(n_agents=A, share_actor_layers=share_actor,
+                       share_critic_layers=share_critic,
+                       share_replay=share_replay)
+    mls = init_multi_learner(jax.random.PRNGKey(seed), dcfg, mcfg)
+    rs = rp.init_replay(A * E * 256, A * E, dcfg.state_size)
+    cs = init_multi_collector(venv, jax.random.PRNGKey(seed + 1), K, A)
+    roll = jax.jit(functools.partial(
+        multi_rollout_chunk, venv=venv, chunk_len=K, gamma=dcfg.gamma,
+        n_agents=A))
+    upd = jax.jit(functools.partial(
+        multi_update_n, dcfg=dcfg, mcfg=mcfg, max_updates=4))
+    return mls, rs, cs, roll, upd
+
+
+class TestMultiAgent:
+    def test_stacked_learner_shapes(self):
+        mls, *_ = setup()
+        assert mls.actor["tower"][0]["w"].shape[0] == A
+
+    def test_rollout_and_update(self):
+        mls, rs, cs, roll, upd = setup()
+        for _ in range(3):
+            cs, rs, m = roll(cs, rs, mls.actor, jnp.asarray(1.0))
+        assert int(rp.valid_count(rs)) > 0
+        mls, um = upd(mls, rs, n_updates=jnp.asarray(4))
+        assert int(um["updates"]) == 4
+        assert int(mls.iteration[0]) == 4 and int(mls.iteration[1]) == 4
+
+    def test_agents_diverge_without_sharing(self):
+        mls, rs, cs, roll, upd = setup()
+        for _ in range(3):
+            cs, rs, m = roll(cs, rs, mls.actor, jnp.asarray(1.0))
+        mls, _ = upd(mls, rs, n_updates=jnp.asarray(4))
+        w = np.asarray(mls.actor["tower"][0]["w"])
+        assert not np.allclose(w[0], w[1])  # independent inits + updates
+
+    def test_shared_layers_stay_identical(self):
+        mls, rs, cs, roll, upd = setup(share_actor=2, share_critic=1)
+        w = np.asarray(mls.actor["tower"][0]["w"])
+        np.testing.assert_array_equal(w[0], w[1])  # broadcast at init
+        for _ in range(3):
+            cs, rs, m = roll(cs, rs, mls.actor, jnp.asarray(1.0))
+        mls, um = upd(mls, rs, n_updates=jnp.asarray(4))
+        assert int(um["updates"]) == 4
+        # shared prefix identical after updates...
+        for i in (0, 1):
+            wa = np.asarray(mls.actor["tower"][i]["w"])
+            np.testing.assert_array_equal(wa[0], wa[1])
+        wc = np.asarray(mls.critic["tower"][0]["w"])
+        np.testing.assert_array_equal(wc[0], wc[1])
+        # ...and it moved (updates applied)
+        assert not np.allclose(w[0], np.asarray(mls.actor["tower"][0]["w"])[0])
+        # unshared layers diverge
+        w3 = np.asarray(mls.actor["tower"][2]["w"])
+        assert not np.allclose(w3[0], w3[1])
+
+    def test_shared_replay_spans_agents(self):
+        mls, rs, cs, roll, upd = setup(share_replay=True)
+        for _ in range(3):
+            cs, rs, m = roll(cs, rs, mls.actor, jnp.asarray(1.0))
+        # valid entries exist in both agents' column blocks
+        valid = np.asarray(rs.valid)
+        assert valid[:, :E].any() and valid[:, E:].any()
+
+    def test_per_agent_rewards_differ(self):
+        """Agents occupy different positions -> different shaped rewards."""
+        mls, rs, cs, roll, upd = setup()
+        cs, rs, m = roll(cs, rs, mls.actor, jnp.asarray(1.0))
+        rews = np.asarray(rs.reward[: K - 1])  # (steps, A*E)
+        a0 = rews[:, :E]
+        a1 = rews[:, E:]
+        assert not np.allclose(a0, a1)
