@@ -95,6 +95,8 @@ class RunConfig:
     chunk_len: int = 0            # 0 -> frames_per_trial (window invariant)
     bf16: bool = False            # bfloat16 compute in the nets
     mesh_devices: int = 0         # 0 -> all local devices (data axis)
+    profile_dir: str = ""         # capture a jax.profiler trace of one chunk
+    record_dir: str = ""          # save + render an episode at each eval
     verbose: bool = False
 
     def __post_init__(self):

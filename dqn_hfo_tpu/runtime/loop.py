@@ -205,7 +205,14 @@ class Trainer:
         cfg = self.cfg
         last_eval_iter = self._iter()
         last_snapshot_iter = self._iter()
+        chunk_idx = 0
         while self._iter() < cfg.max_iter:
+            chunk_idx += 1
+            # One-shot profiler capture of a steady-state chunk (SURVEY §5:
+            # jax.profiler replaces the reference's caffe::Timer tracing).
+            profiling = bool(cfg.profile_dir) and chunk_idx == 3
+            if profiling:
+                jax.profiler.start_trace(cfg.profile_dir)
             t0 = time.time()
             eps = calculate_epsilon(jnp.asarray(self._iter()), cfg.explore,
                                     cfg.epsilon)
@@ -214,6 +221,11 @@ class Trainer:
             self.learner, um = self._update(
                 self.learner, self.replay,
                 n_updates=jnp.asarray(self.updates_per_chunk, jnp.int32))
+            if profiling:
+                jax.block_until_ready(
+                    jax.tree_util.tree_leaves(self.learner.actor)[0])
+                jax.profiler.stop_trace()
+                self.log.info(f"Profiler trace written to {cfg.profile_dir}")
             dt = time.time() - t0
 
             n_eps = int(m["episodes"])
@@ -230,6 +242,8 @@ class Trainer:
                 self._eval_key, k = jax.random.split(self._eval_key)
                 em = self.evaluator(self.learner.actor, k)
                 self.log.evaluation(it, em)
+                if cfg.record_dir:
+                    self._record(it)
                 score = em["goal_perc"]
                 if score > self.best_score and cfg.save:
                     self.log.info(
@@ -244,6 +258,23 @@ class Trainer:
                 self._snapshot()
                 last_snapshot_iter = it
         self._snapshot()
+
+    def _record(self, it: int):
+        """Record + render one greedy episode (record.sh analogue)."""
+        import os
+        from dqn_hfo_tpu.runtime.record import record_episode, render_gif
+        os.makedirs(self.cfg.record_dir, exist_ok=True)
+        actor = self.learner.actor
+        if self.n_agents > 1:
+            actor = jax.tree_util.tree_map(lambda x: x[0], actor)
+        self._eval_key, k = jax.random.split(self._eval_key)
+        base = os.path.join(self.cfg.record_dir, f"episode_iter{it}")
+        traj = record_episode(self.env, actor, k,
+                              epsilon=self.cfg.evaluate_with_epsilon,
+                              space=self.space, save_path=base + ".npz")
+        render_gif(traj, self.env.sp, base + ".gif",
+                   n_offense=self.env.cfg.n_offense)
+        self.log.info(f"Recorded episode to {base}.gif")
 
     def evaluate_mode(self):
         self._eval_key, k = jax.random.split(self._eval_key)

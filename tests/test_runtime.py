@@ -156,3 +156,21 @@ class TestTrainerLoop:
         )
         ms = Trainer(cfg).benchmark(iterations=10)
         assert ms > 0
+
+
+class TestRecord:
+    def test_record_and_render(self, tmp_path):
+        import dataclasses
+        from dqn_hfo_tpu.runtime.record import record_episode, render_gif
+        sp = dataclasses.replace(DEFAULT_PARAMS, frames_per_trial=25,
+                                 untouched_time=15)
+        env = HFOEnv(EnvConfig(), sp, noise_scale=1.0)
+        cfg = DDPGConfig(state_size=59)
+        ls = init_learner(jax.random.PRNGKey(0), cfg)
+        npz = str(tmp_path / "ep.npz")
+        traj = record_episode(env, ls.actor, jax.random.PRNGKey(1),
+                              epsilon=1.0, save_path=npz)
+        assert traj["ball"].ndim == 2 and traj["players"].shape[1] == 1
+        assert os.path.exists(npz)
+        gif = render_gif(traj, sp, str(tmp_path / "ep.gif"))
+        assert os.path.getsize(gif) > 1000
