@@ -179,7 +179,15 @@ class Trainer:
             )
             self.log.info(f"Restored learner at iter {self._iter()}")
         if mem_p:
-            self.replay = ckpt.load_replay(mem_p)
+            if mem_p.endswith(".replaymemory"):
+                # reference-format gzip snapshot (dqn.cpp:1180-1226)
+                from dqn_hfo_tpu.runtime.replay_io import load_reference_replay
+                self.replay = load_reference_replay(
+                    mem_p, self.state_size,
+                    n_envs=self.n_agents * cfg.envs, capacity=cfg.memory,
+                    action_dim=self.space.output_size)
+            else:
+                self.replay = ckpt.load_replay(mem_p)
             self.log.info(
                 f"replay_mem_size = {int(rp.valid_count(self.replay))}")
         if resume_path:
