@@ -60,6 +60,7 @@ class DDPGConfig:
     memory_threshold: int = 1000
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for MXU throughput
     action_space: str = "low_level"  # spaces.SPACES key
+    fused_target: bool = False  # Pallas fused target-Q kernel (TPU)
 
     @property
     def space(self) -> spaces.ActionSpace:
@@ -109,8 +110,14 @@ def init_learner(key, cfg: DDPGConfig) -> LearnerState:
 def compute_targets(ls: LearnerState, cfg: DDPGConfig, reward, on_policy,
                     next_obs, terminal):
     """Mixed on/off-policy targets (dqn.cpp:889-899)."""
-    a_next = actor_apply(ls.actor_target, next_obs, cfg.compute_dtype)
-    q_next = critic_apply(ls.critic_target, next_obs, a_next, cfg.compute_dtype)
+    if cfg.fused_target:
+        # single Pallas kernel: both target towers, weights VMEM-resident
+        from dqn_hfo_tpu.ops.fused_target import fused_target_q
+        q_next = fused_target_q(ls.actor_target, ls.critic_target, next_obs)
+    else:
+        a_next = actor_apply(ls.actor_target, next_obs, cfg.compute_dtype)
+        q_next = critic_apply(ls.critic_target, next_obs, a_next,
+                              cfg.compute_dtype)
     off_policy = jnp.where(terminal, reward, reward + cfg.gamma * q_next)
     return cfg.beta * on_policy + (1.0 - cfg.beta) * off_policy
 
@@ -132,19 +139,25 @@ def actor_loss_fn(actor, critic, cfg: DDPGConfig, obs):
 
 
 def update_once(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
-                axis_name=None):
+                axis_name=None, idx=None):
     """One actor+critic iteration from the replay. Returns
     (new LearnerState, (critic_loss, avg_q)).
 
     With `axis_name` set (data-parallel mesh), each shard samples
     cfg.minibatch transitions from its local replay shard and gradients are
     pmean'd over the axis before Adam — the psum-of-gradients DP mapping of
-    the reference's single-GPU update (SURVEY.md §2 P5/P6)."""
+    the reference's single-GPU update (SURVEY.md §2 P5/P6).
+
+    `idx` (optional, (minibatch,)) supplies presampled transition indices —
+    update_n hoists the replay sampling out of its scan since the buffer is
+    frozen across the whole update burst."""
     key, k_sample = jax.random.split(ls.rng)
-    if axis_name is not None:
-        # distinct sample streams per shard; ls.rng itself stays replicated
-        k_sample = jax.random.fold_in(k_sample, jax.lax.axis_index(axis_name))
-    idx = rp.sample(replay, k_sample, cfg.minibatch)
+    if idx is None:
+        if axis_name is not None:
+            # distinct sample streams per shard; ls.rng stays replicated
+            k_sample = jax.random.fold_in(
+                k_sample, jax.lax.axis_index(axis_name))
+        idx = rp.sample(replay, k_sample, cfg.minibatch)
     obs, action, reward, on_policy, next_obs, terminal = rp.gather(replay, idx)
 
     target = compute_targets(ls, cfg, reward, on_policy, next_obs, terminal)
@@ -210,12 +223,23 @@ def update_n(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
         count = jax.lax.psum(count, axis_name)
     enough = count >= cfg.memory_threshold
 
-    def body(carry, i):
+    # Presample every minibatch for the burst in one pass — the replay is
+    # frozen during update_n, so this is equivalent to per-iteration
+    # sampling and removes a full-buffer scan from every scan step.
+    key, k_all = jax.random.split(ls.rng)
+    if axis_name is not None:
+        k_all = jax.random.fold_in(k_all, jax.lax.axis_index(axis_name))
+    all_idx = rp.sample(replay, k_all, max_updates * cfg.minibatch).reshape(
+        max_updates, cfg.minibatch)
+    ls = ls._replace(rng=key)
+
+    def body(carry, xs):
         state = carry
+        i, idx = xs
         do = (i < n_updates) & enough
 
         def run(s):
-            return update_once(s, replay, cfg, axis_name)
+            return update_once(s, replay, cfg, axis_name, idx=idx)
 
         def skip(s):
             return s, (jnp.asarray(0.0, F32), jnp.asarray(0.0, F32))
@@ -224,7 +248,7 @@ def update_n(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
         return state, metrics + (do,)
 
     ls, (losses, qs, dids) = jax.lax.scan(
-        body, ls, jnp.arange(max_updates, dtype=jnp.int32)
+        body, ls, (jnp.arange(max_updates, dtype=jnp.int32), all_idx)
     )
     n_done = jnp.sum(dids.astype(jnp.int32))
     denom = jnp.maximum(n_done, 1)

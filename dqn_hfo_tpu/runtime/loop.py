@@ -85,6 +85,7 @@ class Trainer:
             clip_grad=cfg.clip_grad,
             memory_threshold=cfg.memory_threshold,
             compute_dtype=self.compute_dtype,
+            fused_target=cfg.fused_target,
         )
 
         key = jax.random.PRNGKey(cfg.seed)
