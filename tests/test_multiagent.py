@@ -99,3 +99,32 @@ class TestMultiAgent:
         a0 = rews[:, :E]
         a1 = rews[:, E:]
         assert not np.allclose(a0, a1)
+
+
+class Test2v2:
+    """BASELINE config 5 topology: 2 learning agents vs chaser defense."""
+
+    def test_2v2_rollout_and_update(self):
+        import functools
+        cfg = EnvConfig(offense_agents=2, defense_npcs=2, defense_goalie=True)
+        env = HFOEnv(cfg, SP, noise_scale=1.0, npc_policy="chaser")
+        venv = VecHFOEnv(env, E)
+        assert cfg.n_players == 4 and cfg.state_size == 86
+        dcfg = DDPGConfig(state_size=86, memory_threshold=32)
+        mcfg = MultiConfig(n_agents=2, share_actor_layers=2,
+                           share_replay=True)
+        mls = init_multi_learner(jax.random.PRNGKey(0), dcfg, mcfg)
+        rs = rp.init_replay(2 * E * 128, 2 * E, 86)
+        cs = init_multi_collector(venv, jax.random.PRNGKey(1), K, 2)
+        roll = jax.jit(functools.partial(
+            multi_rollout_chunk, venv=venv, chunk_len=K, gamma=dcfg.gamma,
+            n_agents=2))
+        upd = jax.jit(functools.partial(
+            multi_update_n, dcfg=dcfg, mcfg=mcfg, max_updates=4))
+        for _ in range(3):
+            cs, rs, m = roll(cs, rs, mls.actor, jnp.asarray(1.0))
+        assert int(rp.valid_count(rs)) > 0
+        mls, um = upd(mls, rs, n_updates=jnp.asarray(4))
+        assert int(um["updates"]) == 4
+        # defense captures happen against random agents
+        assert int(m["episodes"]) > 0
