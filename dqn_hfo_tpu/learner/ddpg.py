@@ -61,6 +61,11 @@ class DDPGConfig:
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for MXU throughput
     action_space: str = "low_level"  # spaces.SPACES key
     fused_target: bool = False  # Pallas fused target-Q kernel (TPU)
+    # Hidden-layer widths — the reference's net architecture is overridable
+    # via an on-disk .prototxt reloaded by the driver (dqn_main.cpp:231-246);
+    # here the same surface is these tuples (CLI: --actor_tower/--critic_tower).
+    actor_tower: tuple = (1024, 512, 256, 128)
+    critic_tower: tuple = (1024, 512, 256, 128)
 
     @property
     def space(self) -> spaces.ActionSpace:
@@ -89,9 +94,10 @@ def make_optimizer(lr, cfg: DDPGConfig):
 def init_learner(key, cfg: DDPGConfig) -> LearnerState:
     ka, kc, kr = jax.random.split(key, 3)
     sp = cfg.space
-    actor = actor_init(ka, cfg.state_size, n_actions=sp.n_actions,
-                       n_params=sp.n_params)
-    critic = critic_init(kc, cfg.state_size, action_dim=sp.output_size)
+    actor = actor_init(ka, cfg.state_size, tower=cfg.actor_tower,
+                       n_actions=sp.n_actions, n_params=sp.n_params)
+    critic = critic_init(kc, cfg.state_size, tower=cfg.critic_tower,
+                         action_dim=sp.output_size)
     # Target nets start as clones (CloneNet, dqn.cpp:660-661).
     actor_target = jax.tree_util.tree_map(jnp.copy, actor)
     critic_target = jax.tree_util.tree_map(jnp.copy, critic)

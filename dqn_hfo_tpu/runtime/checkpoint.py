@@ -189,6 +189,21 @@ def restore_learner(ls: LearnerState, actor_path: str = "",
     )
 
 
+def restore_learner_agent(mls: LearnerState, agent: int,
+                          actor_path: str = "", critic_path: str = "",
+                          actor_weights: str = "", critic_weights: str = "",
+                          ) -> LearnerState:
+    """Restore ONE agent's slice of a stacked multi-agent learner from
+    single-agent snapshot/weights files — the per-agent comma-separated
+    flag values of the reference (GetArg, dqn_main.cpp:73-83,270-286)."""
+    ls_i = jax.tree_util.tree_map(lambda x: x[agent], mls)
+    ls_i = restore_learner(ls_i, actor_path, critic_path,
+                           actor_weights, critic_weights)
+    return jax.tree_util.tree_map(
+        lambda stacked, new: stacked.at[agent].set(
+            jnp.asarray(new, stacked.dtype)), mls, ls_i)
+
+
 def load_replay(path: str) -> rp.ReplayState:
     d = np.load(path)
     return rp.ReplayState(**{k: jnp.asarray(d[k]) for k in d.files})

@@ -90,6 +90,11 @@ class RunConfig:
     # --- Action space: low_level (reference parity) or mid_level macros ---
     action_space: str = "low_level"
 
+    # --- Net architecture override (the reference reloads an on-disk
+    #     .prototxt if present, dqn_main.cpp:231-246; here: explicit flags) ---
+    actor_tower: str = "1024,512,256,128"
+    critic_tower: str = "1024,512,256,128"
+
     # --- TPU-native batching/distribution (new) ---
     envs: int = 8                 # lockstep env instances
     chunk_len: int = 0            # 0 -> frames_per_trial (window invariant)
@@ -112,6 +117,11 @@ class RunConfig:
             import time
             self.seed = int(time.time()) & 0x7FFFFFFF
 
+    def tower(self, which: str) -> tuple:
+        """Parse an {actor,critic}_tower CSV into hidden-layer widths."""
+        s = getattr(self, which + "_tower")
+        return tuple(int(t) for t in s.split(",") if t.strip())
+
     @property
     def total_defense_npcs(self) -> int:
         return self.defense_npcs + self.defense_dummies + self.defense_chasers
@@ -126,6 +136,14 @@ _BOOL_FIELDS = {
     "snapshot_memory", "share_replay_memory", "bf16", "verbose",
     "fused_target",
 }
+
+
+def get_arg(csv: str, idx: int) -> str:
+    """Per-agent comma-separated flag values — GetArg
+    (/root/reference/src/dqn_main.cpp:73-83): token at idx, '' past the end.
+    """
+    toks = csv.split(",") if csv else []
+    return toks[idx] if 0 <= idx < len(toks) else ""
 
 
 def build_parser() -> argparse.ArgumentParser:

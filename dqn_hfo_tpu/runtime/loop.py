@@ -86,6 +86,8 @@ class Trainer:
             memory_threshold=cfg.memory_threshold,
             compute_dtype=self.compute_dtype,
             fused_target=cfg.fused_target,
+            actor_tower=cfg.tower("actor"),
+            critic_tower=cfg.tower("critic"),
         )
 
         key = jax.random.PRNGKey(cfg.seed)
@@ -170,6 +172,33 @@ class Trainer:
             "Give a snapshot or weights but not both."
         assert not (cfg.actor_snapshot and cfg.actor_weights), \
             "Give a snapshot or weights but not both."
+        if self.n_agents > 1 and not (actor_p or critic_p):
+            # Per-agent comma-separated values (GetArg, dqn_main.cpp:270-286);
+            # resumable stacked snapshots (handled below) take priority.
+            from dqn_hfo_tpu.runtime.config import get_arg
+            restored = False
+            for i in range(self.n_agents):
+                a_s = get_arg(cfg.actor_snapshot, i)
+                c_s = get_arg(cfg.critic_snapshot, i)
+                a_w = get_arg(cfg.actor_weights, i)
+                c_w = get_arg(cfg.critic_weights, i)
+                if a_s or c_s or a_w or c_w:
+                    self.learner = ckpt.restore_learner_agent(
+                        self.learner, i, a_s, c_s, a_w, c_w)
+                    restored = True
+            if restored:
+                from dqn_hfo_tpu.learner.multi import _broadcast_shared
+                self.learner = _broadcast_shared(self.learner, self.mcfg)
+                self.log.info(
+                    f"Restored per-agent learners at iter {self._iter()}")
+            if mem_p or cfg.memory_snapshot:
+                self.replay = ckpt.load_replay(mem_p or cfg.memory_snapshot)
+                self.log.info(
+                    f"replay_mem_size = {int(rp.valid_count(self.replay))}")
+            if resume_path:
+                self.best_score = max(self.best_score,
+                                      ckpt.find_hi_score(resume_path))
+            return
         actor_p = actor_p or cfg.actor_snapshot
         critic_p = critic_p or cfg.critic_snapshot
         mem_p = mem_p or cfg.memory_snapshot
@@ -235,7 +264,6 @@ class Trainer:
                     jax.tree_util.tree_leaves(self.learner.actor)[0])
                 jax.profiler.stop_trace()
                 self.log.info(f"Profiler trace written to {cfg.profile_dir}")
-            dt = time.time() - t0
 
             n_eps = int(m["episodes"])
             if n_eps > 0:
@@ -245,6 +273,10 @@ class Trainer:
             it = self._iter()
             self.log.critic_loss(it, float(um["critic_loss"]))
             self.log.actor_q(it, float(um["avg_q"]))
+            # dt is taken only after the metric fetches above have blocked on
+            # the chunk's device results — timing dispatch alone would credit
+            # the chunk with async-queue latency, not real work.
+            dt = time.time() - t0
             self.log.throughput(int(m["env_steps"]), int(um["updates"]), dt)
 
             if it >= last_eval_iter + cfg.evaluate_freq:

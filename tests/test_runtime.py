@@ -174,3 +174,57 @@ class TestRecord:
         assert os.path.exists(npz)
         gif = render_gif(traj, sp, str(tmp_path / "ep.gif"))
         assert os.path.getsize(gif) > 1000
+
+
+class TestGetArgAndTower:
+    def test_get_arg_reference_semantics(self):
+        # GetArg (dqn_main.cpp:73-83): token at idx, '' past the end
+        from dqn_hfo_tpu.runtime.config import get_arg
+        assert get_arg("a.npz,b.npz", 0) == "a.npz"
+        assert get_arg("a.npz,b.npz", 1) == "b.npz"
+        assert get_arg("a.npz,b.npz", 2) == ""
+        assert get_arg("solo.npz", 0) == "solo.npz"
+        assert get_arg("solo.npz", 1) == ""
+        assert get_arg("", 0) == ""
+
+    def test_tower_flag_parses(self):
+        c = parse_args(["--save", "x", "--actor_tower", "64,32",
+                        "--critic_tower", "48,24,12"])
+        assert c.tower("actor") == (64, 32)
+        assert c.tower("critic") == (48, 24, 12)
+
+    def test_tower_override_changes_net_shapes(self):
+        cfg = DDPGConfig(state_size=8, actor_tower=(16, 8),
+                         critic_tower=(12,))
+        ls = init_learner(jax.random.PRNGKey(0), cfg)
+        assert ls.actor["tower"][0]["w"].shape == (8, 16)
+        assert ls.actor["tower"][1]["w"].shape == (16, 8)
+        assert len(ls.critic["tower"]) == 1
+
+    def test_per_agent_snapshot_restore(self, tmp_path):
+        # Snapshot two independent single-agent learners, then load them
+        # into agent slices of a stacked multi-agent learner.
+        from dqn_hfo_tpu.learner.multi import MultiConfig, init_multi_learner
+        dcfg = DDPGConfig(state_size=8)
+        paths = []
+        singles = []
+        for i in range(2):
+            ls = init_learner(jax.random.PRNGKey(100 + i), dcfg)
+            ls = ls._replace(iteration=jnp.asarray(10 + i, jnp.int32))
+            prefix = str(tmp_path / f"solo{i}")
+            ckpt.snapshot(prefix, ls, None, snapshot_memory=False)
+            a, c, _ = ckpt.find_latest_snapshot(prefix)
+            paths.append((a, c))
+            singles.append(ls)
+        mcfg = MultiConfig(n_agents=2)
+        mls = init_multi_learner(jax.random.PRNGKey(0), dcfg, mcfg)
+        for i in range(2):
+            mls = ckpt.restore_learner_agent(mls, i, paths[i][0], paths[i][1])
+        for i in range(2):
+            got = jax.tree_util.tree_map(lambda x: x[i], mls)
+            np.testing.assert_allclose(
+                np.asarray(got.actor["tower"][0]["w"]),
+                np.asarray(singles[i].actor["tower"][0]["w"]))
+            np.testing.assert_allclose(
+                np.asarray(got.critic["tower"][0]["w"]),
+                np.asarray(singles[i].critic["tower"][0]["w"]))
