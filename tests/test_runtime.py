@@ -228,3 +228,38 @@ class TestGetArgAndTower:
             np.testing.assert_allclose(
                 np.asarray(got.critic["tower"][0]["w"]),
                 np.asarray(singles[i].critic["tower"][0]["w"]))
+
+
+class TestExpsLauncher:
+    def test_grid_parse_and_names(self):
+        import sys
+        sys.path.insert(0, "scripts")
+        import exps
+        pts = exps.parse_grid("a=1,2;b=x")
+        assert pts == [{"a": "1", "b": "x"}, {"a": "2", "b": "x"}]
+        assert exps.run_name({"critic_lr": "1e-3", "beta": "0.5"}) == \
+            "beta0.5_critic_lr1e-3"
+        assert exps.parse_grid("") == [{}]
+
+    def test_sweep_runs_and_resumes(self, tmp_path):
+        import subprocess, sys, json, os
+        root = str(tmp_path / "sweep")
+        cmd = [sys.executable, "scripts/exps.py", "--save_root", root,
+               "--grid", "explore=50",
+               "--base", "--envs 4 --max_iter 60 --frames_per_trial 20 "
+                         "--untouched_time 16 --chunk_len 20 "
+                         "--memory_threshold 50 --evaluate_freq 40 "
+                         "--repeat_games 4 --snapshot_freq 1000000 "
+                         "--no-snapshot_memory --seed 1"]
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                             timeout=600)
+        assert out.returncode == 0, out.stdout + out.stderr
+        recs = [json.loads(l) for l in open(root + "/manifest.jsonl")]
+        assert recs and recs[0]["status"] == "done"
+        assert recs[0]["n_evals"] >= 1
+        # resumable: second invocation skips the completed point
+        out2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                              timeout=600)
+        assert "[skip]" in out2.stdout
