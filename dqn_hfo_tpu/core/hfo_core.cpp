@@ -502,4 +502,35 @@ void core_reward(const CoreShaping* in, CoreShaping* out_sh, const float* obs,
   out_sh->first_step = 0;
 }
 
+void core_npc_action(const CoreParams* pp, const CoreState* st,
+                     int32_t player_idx, int32_t policy, int32_t is_goalie,
+                     int32_t* act, float* arg1, float* arg2) {
+  *act = kNoop;
+  *arg1 = 0.0f;
+  *arg2 = 0.0f;
+  if (policy != kNpcChaser) return;  // dummies NOOP forever
+
+  // Mirror of env/npc.py chaser_action (chaser.cxx:41-52 semantics): the
+  // reference chaser's high-level angles are normalized by pi, so its
+  // |ball_ang - orientation| > .1 threshold is 0.1*pi radians here.
+  const CoreParams& p = *pp;
+  const float* pl = st->players + player_idx * kPlayerStride;
+  float relx = st->ball_pos[0] - pl[0], rely = st->ball_pos[1] - pl[1];
+  float dist = std::sqrt(relx * relx + rely * rely);
+  float rel_ang = normalize_angle(std::atan2(rely, relx) - pl[4]);
+
+  bool can_catch = is_goalie && dist <= p.catchable_area_l;
+  bool misaligned = std::fabs(rel_ang) > 0.1f * kPi;
+  if (can_catch) {
+    *act = kCatch;
+    *arg1 = 100.0f;
+  } else if (misaligned) {
+    *act = kTurn;
+    *arg1 = 90.0f * (rel_ang / kPi);
+  } else {
+    *act = kDash;
+    *arg1 = 100.0f;
+  }
+}
+
 }  // extern "C"

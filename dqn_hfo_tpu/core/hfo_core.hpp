@@ -93,6 +93,17 @@ void core_reward(const CoreShaping* in, CoreShaping* out_sh, const float* obs,
 void core_initial_shaping(CoreShaping* sh, const float* obs,
                           int32_t toucher_unum, int32_t toucher_side);
 
+// Scripted NPC policies (the reference's NPC binaries,
+// /root/reference/src/hfo_policies/{chaser,dummy_*}.cxx, as callable
+// counterparts of env/npc.py). policy: 0 = dummy (NOOP forever),
+// 1 = chaser (CATCH if the goalie can, TURN toward the ball if misaligned,
+// else DASH 100).
+enum CoreNpcPolicy : int32_t { kNpcDummy = 0, kNpcChaser = 1 };
+
+void core_npc_action(const CoreParams* p, const CoreState* state,
+                     int32_t player_idx, int32_t policy, int32_t is_goalie,
+                     int32_t* act, float* arg1, float* arg2);
+
 }  // extern "C"
 
 #endif  // DQN_HFO_TPU_CORE_HPP_

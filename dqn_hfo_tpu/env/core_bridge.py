@@ -115,6 +115,12 @@ def load_core():
             ctypes.POINTER(CShaping), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int32, ctypes.c_int32,
         ]
+        lib.core_npc_action.argtypes = [
+            ctypes.POINTER(CParams), ctypes.POINTER(CState),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
     return _lib
 
@@ -139,13 +145,15 @@ class CoreEnv:
     HFOEnv for parity testing.  State can be injected from a JAX EnvState."""
 
     def __init__(self, cfg: EnvConfig, sp: ServerParams = DEFAULT_PARAMS,
-                 noise_scale: float = 0.0, seed: int = 1):
+                 noise_scale: float = 0.0, seed: int = 1,
+                 npc_policy: str = "chaser"):
         self.lib = load_core()
         self.cfg = cfg
         self.sp = sp
         self.cp = make_cparams(sp)
         self.cc = make_cconfig(cfg)
         self.noise_scale = noise_scale
+        self.npc_policy = npc_policy
         self.state = CState()
         self.shapings = [CShaping() for _ in range(cfg.offense_agents)]
         self.rng = ctypes.c_uint64(seed or 1)
@@ -199,8 +207,9 @@ class CoreEnv:
             )
 
     def step(self, actions, arg1, arg2):
-        """actions/args are per learning agent; NPCs must be driven by the
-        caller (parity tests use agent-only configs)."""
+        """actions/args are per learning agent; NPC slots are filled by the
+        scripted core_npc_action policies (offense NPCs: dummies; defense
+        NPCs: chaser or dummies, matching HFOEnv.step)."""
         P = self.cfg.n_players
         A = self.cfg.offense_agents
         full_act = np.full(P, C.NOOP, np.int32)
@@ -209,6 +218,19 @@ class CoreEnv:
         full_act[:A] = np.asarray(actions, np.int32)
         full_a1[:A] = np.asarray(arg1, np.float32)
         full_a2[:A] = np.asarray(arg2, np.float32)
+        chase = 1 if self.npc_policy == "chaser" else 0
+        for j in range(self.cfg.defense_npcs):
+            i = self.cfg.n_offense + j
+            is_goalie = 1 if (self.cfg.defense_goalie and j == 0) else 0
+            a = ctypes.c_int32()
+            p1 = ctypes.c_float()
+            p2 = ctypes.c_float()
+            self.lib.core_npc_action(
+                ctypes.byref(self.cp), ctypes.byref(self.state), i, chase,
+                is_goalie, ctypes.byref(a), ctypes.byref(p1), ctypes.byref(p2))
+            full_act[i] = a.value
+            full_a1[i] = p1.value
+            full_a2[i] = p2.value
         self.lib.core_step(
             ctypes.byref(self.cp), ctypes.byref(self.cc),
             ctypes.byref(self.state),

@@ -33,6 +33,13 @@ def decode_action(actor_output, space: spaces.ActionSpace = spaces.LOW_LEVEL):
     return spaces.decode(space, actor_output)
 
 
+def sample_action(actor_output, key,
+                  space: spaces.ActionSpace = spaces.LOW_LEVEL):
+    """Stochastic decode, SampleAction (dqn.cpp:180-194): discrete action
+    drawn with prob max(0, activation+1), excluded actions at prob 0."""
+    return spaces.sample_decode(space, actor_output, key)
+
+
 def random_actor_output(key, shape=(),
                         space: spaces.ActionSpace = spaces.LOW_LEVEL):
     """Uniform exploration outputs in native ranges (dqn.cpp:664-682)."""

@@ -57,6 +57,19 @@ class DDPGConfig:
     momentum2: float = 0.999
     clip_grad: float = 10.0
     adam_eps: float = 1e-8
+    # Solver selection — the reference's --solver flag goes through Caffe's
+    # SolverRegistry (dqn_main.cpp:30, solver proto type at :232-236);
+    # the registry's types are reproduced here over optax transforms.
+    solver: str = "Adam"
+    # Learning-rate policy — Caffe SolverParameter lr_policy semantics
+    # (--lr_policy, dqn_main.cpp:36; set on the proto at :237-238).
+    # Supported: fixed | step | exp | inv | poly | sigmoid, using the proto's
+    # gamma/power/stepsize/max_iter knobs.
+    lr_policy: str = "fixed"
+    lr_gamma: float = 0.1
+    lr_power: float = 0.75
+    lr_stepsize: int = 100_000
+    max_iter: int = 10_000_000
     memory_threshold: int = 1000
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for MXU throughput
     action_space: str = "low_level"  # spaces.SPACES key
@@ -83,11 +96,56 @@ class LearnerState(NamedTuple):
     rng: Any
 
 
+def make_lr_schedule(base_lr, cfg: DDPGConfig):
+    """Caffe SolverParameter lr_policy as an optax schedule
+    (caffe solver.cpp GetLearningRate semantics)."""
+    pol, g, pw, step = cfg.lr_policy, cfg.lr_gamma, cfg.lr_power, cfg.lr_stepsize
+    if pol == "fixed":
+        return lambda t: base_lr
+    if pol == "step":
+        return lambda t: base_lr * g ** jnp.floor(t / step)
+    if pol == "exp":
+        return lambda t: base_lr * g ** t
+    if pol == "inv":
+        return lambda t: base_lr * (1.0 + g * t) ** (-pw)
+    if pol == "poly":
+        return lambda t: base_lr * (1.0 - jnp.minimum(t / cfg.max_iter, 1.0)) ** pw
+    if pol == "sigmoid":
+        return lambda t: base_lr / (1.0 + jnp.exp(-g * (t - step)))
+    raise ValueError(f"unknown lr_policy: {pol!r}")
+
+
+def _scale_by_solver(cfg: DDPGConfig):
+    """The reference's --solver goes through Caffe's SolverRegistry
+    (dqn_main.cpp:232-236); each registered type mapped to its optax
+    equivalent.  Momentum/momentum2 flags feed the same slots they fed in
+    Caffe's protos (dqn_main.cpp:31-33)."""
+    s = cfg.solver.lower()
+    if s == "adam":
+        return optax.scale_by_adam(b1=cfg.momentum, b2=cfg.momentum2,
+                                   eps=cfg.adam_eps)
+    if s == "sgd":
+        return optax.trace(decay=cfg.momentum)
+    if s == "nesterov":
+        return optax.trace(decay=cfg.momentum, nesterov=True)
+    if s == "adagrad":
+        return optax.scale_by_rss(initial_accumulator_value=0.0,
+                                  eps=cfg.adam_eps)
+    if s == "rmsprop":
+        # Caffe RMSProp rms_decay (default .99 in its proto); momentum2 slot
+        # carries it here so the flag surface stays the reference's.
+        return optax.scale_by_rms(decay=cfg.momentum2, eps=cfg.adam_eps)
+    if s == "adadelta":
+        return optax.scale_by_adadelta(rho=cfg.momentum, eps=cfg.adam_eps)
+    raise ValueError(f"unknown solver: {cfg.solver!r}")
+
+
 def make_optimizer(lr, cfg: DDPGConfig):
+    sched = make_lr_schedule(lr, cfg)
     return optax.chain(
         optax.clip_by_global_norm(cfg.clip_grad),
-        optax.scale_by_adam(b1=cfg.momentum, b2=cfg.momentum2, eps=cfg.adam_eps),
-        optax.scale(-lr),
+        _scale_by_solver(cfg),
+        optax.scale_by_schedule(lambda t: -sched(t)),
     )
 
 

@@ -40,6 +40,11 @@ class RunConfig:
     critic_lr: float = 1e-3
     clip_grad: float = 10.0
     lr_policy: str = "fixed"
+    # lr_policy knobs — Caffe SolverParameter gamma/power/stepsize, which the
+    # reference left at proto defaults (only "fixed" appears in its runs).
+    lr_gamma: float = 0.1
+    lr_power: float = 0.75
+    lr_stepsize: int = 100_000
     max_iter: int = 10_000_000
 
     # --- Epsilon-greedy (dqn_main.cpp:39-41) ---

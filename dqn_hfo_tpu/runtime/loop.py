@@ -83,6 +83,12 @@ class Trainer:
             momentum=cfg.momentum,
             momentum2=cfg.momentum2,
             clip_grad=cfg.clip_grad,
+            solver=cfg.solver,
+            lr_policy=cfg.lr_policy,
+            lr_gamma=cfg.lr_gamma,
+            lr_power=cfg.lr_power,
+            lr_stepsize=cfg.lr_stepsize,
+            max_iter=cfg.max_iter,
             memory_threshold=cfg.memory_threshold,
             compute_dtype=self.compute_dtype,
             fused_target=cfg.fused_target,

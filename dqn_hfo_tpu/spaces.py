@@ -108,6 +108,41 @@ def decode(space: ActionSpace, actor_output):
     return env_ids[idx], pick(0), pick(1), pick(2)
 
 
+def sample_decode(space: ActionSpace, actor_output, key):
+    """Stochastic decode — SampleAction (dqn.cpp:180-194).
+
+    Discrete action sampled with probability max(0, activation + 1), with
+    `excluded` indices forced to probability 0 (the reference zeroes TACKLE at
+    dqn.cpp:185-186); params picked from the winner's slots exactly as in
+    `decode`.  Rows where every allowed probability is 0 fall back to uniform
+    over the allowed actions (std::discrete_distribution's all-zero-weight
+    case is undefined; uniform is the neutral completion).
+    """
+    acts = actor_output[..., : space.n_actions]
+    probs = jnp.maximum(acts + 1.0, 0.0)
+    allowed = jnp.ones((space.n_actions,), F32)
+    for e in space.excluded:
+        allowed = allowed.at[e].set(0.0)
+    probs = probs * allowed
+    total = jnp.sum(probs, axis=-1, keepdims=True)
+    uniform = allowed / jnp.sum(allowed)
+    probs = jnp.where(total > 0.0, probs / jnp.maximum(total, 1e-30), uniform)
+    idx = jax.random.categorical(key, jnp.log(probs + 1e-30), axis=-1)
+    idx = idx.astype(jnp.int32)
+
+    params = actor_output[..., space.n_actions:]
+    env_ids = jnp.asarray(space.env_action_ids, jnp.int32)
+    offs = jnp.asarray(space.arg_offsets, jnp.int32)
+
+    def pick(col):
+        o = offs[idx, col]
+        v = jnp.take_along_axis(
+            params, jnp.maximum(o, 0)[..., None], axis=-1)[..., 0]
+        return jnp.where(o < 0, 0.0, v).astype(F32)
+
+    return env_ids[idx], pick(0), pick(1), pick(2)
+
+
 def random_output(space: ActionSpace, key, shape=()):
     """Uniform exploration in native ranges (dqn.cpp:664-682)."""
     k1, k2 = jax.random.split(key)

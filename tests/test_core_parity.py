@@ -22,13 +22,13 @@ from dqn_hfo_tpu.env.state import EnvConfig
 ATOL = 2e-4  # accumulated float32 reassociation tolerance over many steps
 
 
-def run_pair(cfg, n_steps, policy, seed=0):
+def run_pair(cfg, n_steps, policy, seed=0, npc_policy="chaser"):
     """Run JAX env and C++ core in lockstep from the same initial state."""
-    env = HFOEnv(cfg, DEFAULT_PARAMS, noise_scale=0.0)
+    env = HFOEnv(cfg, DEFAULT_PARAMS, noise_scale=0.0, npc_policy=npc_policy)
     jstep = jax.jit(env.step)
     s, obs = env.reset(jax.random.PRNGKey(seed))
 
-    core = CoreEnv(cfg, DEFAULT_PARAMS, noise_scale=0.0)
+    core = CoreEnv(cfg, DEFAULT_PARAMS, noise_scale=0.0, npc_policy=npc_policy)
     core.set_state_from_env(s)
     core.init_shaping()
     core_obs = np.stack([core.observe(a) for a in range(cfg.offense_agents)])
@@ -104,4 +104,22 @@ class TestTrajectoryParity:
     def test_multiagent_parity(self):
         cfg = EnvConfig(offense_agents=2)
         steps, status = run_pair(cfg, 200, random_policy, seed=5)
+        assert steps > 10
+
+    def test_chaser_keeper_parity(self):
+        """1v1 vs the scripted chaser goalie: the JAX in-env NPC branch and
+        the C++ core_npc_action counterpart must produce identical
+        trajectories (SURVEY.md §2 NPC mapping row)."""
+        cfg = EnvConfig(offense_agents=1, defense_npcs=1, defense_goalie=True)
+        steps, status = run_pair(cfg, 520, scripted_policy, seed=2,
+                                 npc_policy="chaser")
+        assert steps > 5
+        # the keeper either captures or the striker scores/goes OOB; either
+        # way the trajectories agreed step-for-step to termination
+        assert status != C.IN_GAME
+
+    def test_dummy_goalie_parity(self):
+        cfg = EnvConfig(offense_agents=1, defense_npcs=1, defense_goalie=True)
+        steps, status = run_pair(cfg, 520, random_policy, seed=3,
+                                 npc_policy="dummy")
         assert steps > 10
