@@ -146,14 +146,16 @@ class CoreEnv:
 
     def __init__(self, cfg: EnvConfig, sp: ServerParams = DEFAULT_PARAMS,
                  noise_scale: float = 0.0, seed: int = 1,
-                 npc_policy: str = "chaser"):
+                 npc_policy="chaser"):
         self.lib = load_core()
         self.cfg = cfg
         self.sp = sp
         self.cp = make_cparams(sp)
         self.cc = make_cconfig(cfg)
         self.noise_scale = noise_scale
-        self.npc_policy = npc_policy
+        if isinstance(npc_policy, str):
+            npc_policy = (npc_policy,) * cfg.defense_npcs
+        self.npc_policy = tuple(npc_policy)
         self.state = CState()
         self.shapings = [CShaping() for _ in range(cfg.offense_agents)]
         self.rng = ctypes.c_uint64(seed or 1)
@@ -218,9 +220,9 @@ class CoreEnv:
         full_act[:A] = np.asarray(actions, np.int32)
         full_a1[:A] = np.asarray(arg1, np.float32)
         full_a2[:A] = np.asarray(arg2, np.float32)
-        chase = 1 if self.npc_policy == "chaser" else 0
         for j in range(self.cfg.defense_npcs):
             i = self.cfg.n_offense + j
+            chase = 1 if self.npc_policy[j] == "chaser" else 0
             is_goalie = 1 if (self.cfg.defense_goalie and j == 0) else 0
             a = ctypes.c_int32()
             p1 = ctypes.c_float()

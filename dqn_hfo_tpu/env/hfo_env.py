@@ -43,11 +43,18 @@ class HFOEnv:
     """Single-instance env; `vmap` via VecHFOEnv for batches."""
 
     def __init__(self, cfg: EnvConfig, sp: ServerParams = DEFAULT_PARAMS,
-                 noise_scale: float = 1.0, npc_policy: str = "chaser"):
+                 noise_scale: float = 1.0, npc_policy="chaser"):
+        """npc_policy: one policy name for every defender ("chaser"/"dummy")
+        or a per-defender sequence of names, length cfg.defense_npcs —
+        mixed-topology parity with the reference's separate chaser /
+        dummy-goalie / idle-slot processes (dqn_main.cpp:427-436)."""
         self.cfg = cfg
         self.sp = sp
         self.noise_scale = noise_scale
-        self.npc_policy = npc_policy
+        if isinstance(npc_policy, str):
+            npc_policy = (npc_policy,) * cfg.defense_npcs
+        self.npc_policy = tuple(npc_policy)
+        assert len(self.npc_policy) == cfg.defense_npcs
         self.agent_unums = jnp.asarray(
             [cfg.unum(i) for i in range(cfg.offense_agents)], jnp.int32
         )
@@ -149,7 +156,7 @@ class HFOEnv:
             full_act = full_act.at[i].set(C.NOOP)
         for j in range(cfg.defense_npcs):
             i = cfg.n_offense + j
-            if self.npc_policy == "chaser":
+            if self.npc_policy[j] == "chaser":
                 is_goalie = cfg.defense_goalie and j == 0
                 a, p1, p2 = npc.chaser_action(sp, state, i, is_goalie)
                 full_act = full_act.at[i].set(a)

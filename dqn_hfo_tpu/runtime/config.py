@@ -4,9 +4,12 @@ TPU-native batching/distribution knobs.
 Flag names and defaults reproduce the reference inventory exactly
 (SURVEY.md §2; /root/reference/src/hfo_game.cpp:8-20, dqn.cpp:21-31,
 dqn_main.cpp:18-59).  Flags that configured the external server/process
-machinery (server_cmd, config_dir, server_addr, gui, ...) are retired — the
-simulator is in-graph; their semantic payload (frames-per-trial, ball-x
-window, team topology) is carried by the physics/env config.
+machinery (server_cmd, config_dir, server_addr, gui, team_name,
+play_goalie, ...) are retired — the simulator is in-graph; their semantic
+payload (frames-per-trial, ball-x window, team topology) is carried by the
+physics/env config.  defense_agents adds idle defense bodies that widen the
+50+9*P state exactly as in the reference, which never attaches a learner
+thread to them (dqn_main.cpp:421-426).
 """
 
 from __future__ import annotations

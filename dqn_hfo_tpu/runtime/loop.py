@@ -37,12 +37,27 @@ from dqn_hfo_tpu.runtime.metrics import MetricsLogger
 import dataclasses
 
 
+def defense_policies(cfg: RunConfig) -> tuple:
+    """Per-defender policy list, goalie-capable slots first.
+
+    Order mirrors the reference's client launch (dqn_main.cpp:427-436):
+    chasers (first one is the goalie), agent2d-style NPCs (chaser proxies
+    here), dummy goalies, then defense_agents slots — which the reference
+    never attaches a learner thread to (main(), dqn_main.cpp:421-426), so
+    they stand idle (dummies) while still widening the 50+9*P state."""
+    return (("chaser",) * cfg.defense_chasers
+            + ("chaser",) * cfg.defense_npcs
+            + ("dummy",) * cfg.defense_dummies
+            + ("dummy",) * cfg.defense_agents)
+
+
 def make_env_config(cfg: RunConfig) -> EnvConfig:
+    n_defense = cfg.total_defense_npcs + cfg.defense_agents
     return EnvConfig(
         offense_agents=cfg.offense_agents,
         offense_npcs=cfg.total_offense_npcs,
-        defense_npcs=cfg.total_defense_npcs,
-        defense_goalie=cfg.total_defense_npcs > 0,
+        defense_npcs=n_defense,
+        defense_goalie=n_defense > 0,
         ball_x_min=cfg.ball_x_min,
         ball_x_max=cfg.ball_x_max,
         offense_on_ball=cfg.offense_on_ball,
@@ -63,9 +78,8 @@ class Trainer:
         self.log = MetricsLogger(cfg.save)
         env_cfg = make_env_config(cfg)
         sp = make_server_params(cfg)
-        npc_policy = "chaser" if cfg.defense_chasers > 0 else "dummy"
         self.env = HFOEnv(env_cfg, sp, noise_scale=cfg.noise_scale,
-                          npc_policy=npc_policy)
+                          npc_policy=defense_policies(cfg))
         self.venv = VecHFOEnv(self.env, cfg.envs)
         self.state_size = env_cfg.state_size
         self.compute_dtype = jnp.bfloat16 if cfg.bf16 else None

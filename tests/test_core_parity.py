@@ -123,3 +123,11 @@ class TestTrajectoryParity:
         steps, status = run_pair(cfg, 520, random_policy, seed=3,
                                  npc_policy="dummy")
         assert steps > 10
+
+    def test_mixed_defense_parity(self):
+        """Chaser goalie + idle second defender (per-defender policy list),
+        the reference's chaser+dummy mixed topology (dqn_main.cpp:427-436)."""
+        cfg = EnvConfig(offense_agents=1, defense_npcs=2, defense_goalie=True)
+        steps, status = run_pair(cfg, 300, scripted_policy, seed=4,
+                                 npc_policy=("chaser", "dummy"))
+        assert steps > 5

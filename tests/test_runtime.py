@@ -50,6 +50,17 @@ class TestConfig:
         assert ec.offense_agents == 2 and ec.offense_npcs == 1
         assert ec.defense_npcs == 1 and ec.defense_goalie
 
+    def test_defense_agents_widen_state_and_stand_idle(self):
+        """defense_agents adds bodies + 9 state features each (the reference
+        counts them in num_players, dqn_main.cpp:223-227, but starts no
+        learner thread for them, :421-426)."""
+        from dqn_hfo_tpu.runtime.loop import defense_policies
+        c = RunConfig(save="x", defense_chasers=1, defense_agents=1)
+        ec = make_env_config(c)
+        assert ec.defense_npcs == 2 and ec.n_players == 3
+        assert ec.state_size == 50 + 9 * 3
+        assert defense_policies(c) == ("chaser", "dummy")
+
 
 class TestCheckpoint:
     def test_snapshot_find_restore_roundtrip(self, tmp_path):
