@@ -43,17 +43,24 @@ def bench_env(n_envs: int, n_steps: int, repeats: int = 3) -> float:
     venv = VecHFOEnv(env, n_envs)
 
     def chunk(states, key):
+        # Reset bank generated inside the timed region — auto-reset is part
+        # of the pipeline being measured (see VecHFOEnv.step_banked).
+        key, k_bank = jax.random.split(key)
+        bank = venv.make_reset_bank(k_bank, rounds=8)
+        counters = jnp.zeros((n_envs,), jnp.int32)
+
         def step(carry, _):
-            states, key = carry
+            states, counters, key = carry
             key, k = jax.random.split(key)
             out = random_actor_output(k, (n_envs,))
             a, p1, p2, p3 = decode_action(out)
-            states, obs, info = venv.step(states, a[:, None], p1[:, None],
-                                          p2[:, None], p3[:, None])
-            return (states, key), info.reward[:, 0].sum()
+            states, counters, obs, info = venv.step_banked(
+                states, counters, bank, a[:, None], p1[:, None],
+                p2[:, None], p3[:, None])
+            return (states, counters, key), info.reward[:, 0].sum()
 
-        (states, key), rs = jax.lax.scan(step, (states, key), None,
-                                         length=n_steps)
+        (states, counters, key), rs = jax.lax.scan(
+            step, (states, counters, key), None, length=n_steps)
         return states, key, rs.sum()
 
     chunk = jax.jit(chunk, donate_argnums=(0,))

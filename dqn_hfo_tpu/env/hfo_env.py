@@ -265,6 +265,51 @@ class VecHFOEnv:
         out_obs = sel(fresh_obs, obs)
         return out_states, out_obs, info
 
+    # ------------------------------------------------------- banked auto-reset
+    def make_reset_bank(self, key, rounds: int):
+        """Precompute `rounds` fresh reset states per env: (R, B, ...) states
+        + (R, B, A, F) obs.  step_banked consumes one per done event, making
+        auto-reset O(R*B) per chunk instead of O(K*B) — the per-step
+        vmap(reset) in `step` costs about as much as the step itself."""
+        keys = jax.random.split(key, rounds * self.batch)
+        keys = keys.reshape((rounds, self.batch) + keys.shape[1:])
+        return jax.vmap(jax.vmap(self.env.reset))(keys)
+
+    def step_banked(self, states, counters, bank, actions, arg1, arg2,
+                    arg3=None):
+        """Auto-resetting step that pulls fresh trials from a precomputed
+        reset bank.  `counters` (B,) i32 counts resets per env; env b's i-th
+        reset uses bank[i % R, b].  An env that finishes more than R trials
+        in one bank lifetime revisits a bank entry (a repeated start state,
+        not an invalid one) — callers regenerate the bank every chunk, so
+        with R >= chunk_len/typical_episode_len this is rare.
+
+        Returns (new_states, new_counters, obs, info) — same contract as
+        `step` otherwise.
+        """
+        if arg3 is None:
+            arg3 = jnp.zeros_like(arg1)
+        bank_states, bank_obs = bank
+        R = bank_obs.shape[0]
+        B = self.batch
+        new_states, obs, info = jax.vmap(self.env.step)(
+            states, actions, arg1, arg2, arg3
+        )
+        rows = jnp.arange(B)
+        idx = jnp.mod(counters, R)
+        fresh_states = jax.tree_util.tree_map(
+            lambda x: x[idx, rows], bank_states)
+        fresh_obs = bank_obs[idx, rows]
+        done = info.done
+
+        def sel(a, b):
+            d = done.reshape(done.shape + (1,) * (a.ndim - 1))
+            return jnp.where(d, a, b)
+
+        out_states = jax.tree_util.tree_map(sel, fresh_states, new_states)
+        out_obs = sel(fresh_obs, obs)
+        return out_states, counters + done.astype(jnp.int32), out_obs, info
+
     def step_absorb(self, states, actions, arg1, arg2, arg3=None):
         """Evaluation stepping: finished trials freeze (no reset, no reward).
         Mirrors the fixed-horizon evaluation loop (dqn_main.cpp:171-204)."""

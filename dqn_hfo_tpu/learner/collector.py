@@ -73,14 +73,14 @@ def rollout_chunk(cs: CollectorState, replay: rp.ReplayState, actor_params,
     """
 
     def step_fn(carry, _):
-        env_states, obs, replay, ep_ret, key = carry
+        env_states, counters, obs, replay, ep_ret, key = carry
         key, k_act = jax.random.split(key)
         actor_out = select_actions(actor_params, obs, k_act, epsilon,
                                    compute_dtype, space)          # (E, n_out)
         action, a1, a2, a3 = decode_action(actor_out, space)
-        env_states, obs2_full, info = venv.step(
-            env_states, action[:, None], a1[:, None], a2[:, None],
-            a3[:, None]
+        env_states, counters, obs2_full, info = venv.step_banked(
+            env_states, counters, bank, action[:, None], a1[:, None],
+            a2[:, None], a3[:, None]
         )
         obs2 = obs2_full[:, 0, :]
         reward = info.reward[:, 0]
@@ -102,11 +102,16 @@ def rollout_chunk(cs: CollectorState, replay: rp.ReplayState, actor_params,
             jnp.sum(jnp.where(terminal, info.steps, 0)),          # steps
             jnp.sum((terminal & (info.status == C.GOAL)).astype(jnp.int32)),
         )
-        return (env_states, obs2, replay, ep_ret, key), stats
+        return (env_states, counters, obs2, replay, ep_ret, key), stats
 
-    carry = (cs.env_states, cs.obs, replay, cs.ep_return, cs.rng[0])
+    # Fresh trials come from a per-chunk reset bank (see step_banked); 8
+    # rounds covers chunks up to 8 trials deep per env before entry reuse.
+    key0, k_bank = jax.random.split(cs.rng[0])
+    bank = venv.make_reset_bank(k_bank, rounds=8)
+    counters = jnp.zeros((cs.obs.shape[0],), jnp.int32)
+    carry = (cs.env_states, counters, cs.obs, replay, cs.ep_return, key0)
     carry, ys = jax.lax.scan(step_fn, carry, None, length=chunk_len)
-    env_states, obs, replay, ep_ret, key = carry
+    env_states, counters, obs, replay, ep_ret, key = carry
     (rews, dones, ids, n_eps, sum_ret, sum_steps, n_goals) = ys
 
     # Label pass over [prev chunk | this chunk].

@@ -146,7 +146,7 @@ def multi_rollout_chunk(cs: CollectorState, replay: rp.ReplayState,
     A = n_agents
 
     def step_fn(carry, _):
-        env_states, obs, replay, ep_ret, key = carry
+        env_states, counters, obs, replay, ep_ret, key = carry
         key, *aks = jax.random.split(key, A + 1)
         outs = []
         for a in range(A):
@@ -155,7 +155,8 @@ def multi_rollout_chunk(cs: CollectorState, replay: rp.ReplayState,
                                        compute_dtype, space))
         actor_out = jnp.stack(outs, axis=1)            # (E, A, n_out)
         act, a1, a2, a3 = decode_action(actor_out, space)
-        env_states, obs2, info = venv.step(env_states, act, a1, a2, a3)
+        env_states, counters, obs2, info = venv.step_banked(
+            env_states, counters, bank, act, a1, a2, a3)
         reward = info.reward                            # (E, A)
         done = info.done                                # (E,)
 
@@ -178,11 +179,15 @@ def multi_rollout_chunk(cs: CollectorState, replay: rp.ReplayState,
             jnp.sum(jnp.where(done, info.steps, 0)),
             jnp.sum((done & (info.status == C.GOAL)).astype(jnp.int32)),
         )
-        return (env_states, obs2, replay, ep_ret, key), stats
+        return (env_states, counters, obs2, replay, ep_ret, key), stats
 
-    carry = (cs.env_states, cs.obs, replay, cs.ep_return, cs.rng[0])
+    # per-chunk reset bank (see VecHFOEnv.step_banked)
+    key0, k_bank = jax.random.split(cs.rng[0])
+    bank = venv.make_reset_bank(k_bank, rounds=8)
+    counters = jnp.zeros((cs.obs.shape[0],), jnp.int32)
+    carry = (cs.env_states, counters, cs.obs, replay, cs.ep_return, key0)
     carry, ys = jax.lax.scan(step_fn, carry, None, length=chunk_len)
-    env_states, obs, replay, ep_ret, key = carry
+    env_states, counters, obs, replay, ep_ret, key = carry
     rews, dones, ids, n_eps, sum_ret, sum_steps, n_goals = ys
 
     w_r = jnp.concatenate([cs.window.rewards, rews], axis=0)
