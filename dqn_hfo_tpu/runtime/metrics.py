@@ -12,6 +12,7 @@ also emitted as one JSON line to {save}_metrics.jsonl.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from typing import Optional
@@ -23,6 +24,9 @@ class MetricsLogger:
         self.stream = stream or sys.stdout
         self.jsonl = None
         if save_prefix:
+            parent = os.path.dirname(save_prefix)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
             self.jsonl = open(f"{save_prefix}_metrics.jsonl", "a")
         self._t0 = time.time()
 

@@ -62,6 +62,21 @@ class TestConfig:
         assert defense_policies(c) == ("chaser", "dummy")
 
 
+class TestMetrics:
+    def test_logger_creates_parent_dirs(self, tmp_path):
+        # A save prefix under a not-yet-existing directory must work — the
+        # reference's glog setup likewise writes under the save path
+        # (dqn_main.cpp:406-409) after the caller mkdirs it; here the logger
+        # owns that responsibility.
+        from dqn_hfo_tpu.runtime.metrics import MetricsLogger
+        prefix = str(tmp_path / "sub" / "dir" / "run1")
+        log = MetricsLogger(prefix, stream=open(os.devnull, "w"))
+        log.episode(0, 1.5)
+        with open(prefix + "_metrics.jsonl") as f:
+            rec = json.loads(f.readline())
+        assert rec["kind"] == "episode" and rec["reward"] == 1.5
+
+
 class TestCheckpoint:
     def test_snapshot_find_restore_roundtrip(self, tmp_path):
         cfg = DDPGConfig(state_size=8)
