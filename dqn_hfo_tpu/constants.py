@@ -142,17 +142,42 @@ class ServerParams:
     # Movement noise (rcssserver: uniform in a disc of radius rand*|vel|)
     player_rand: float = 0.1
     ball_rand: float = 0.05
+    # Kick noise: rcssserver adds a polar-uniform perturbation to the kick
+    # acceleration with max radius kick_rand * power / max_power.
     kick_rand: float = 0.1
 
-    # Stamina model
+    # Stamina model (server.conf defaults). Each cycle after consumption:
+    # stamina <= effort_dec_thr*max  -> effort -= effort_dec (floor effort_min)
+    # stamina >= effort_inc_thr*max  -> effort += effort_inc (cap effort_max)
+    # stamina <= recover_dec_thr*max -> recovery -= recover_dec (floor
+    #   recover_min; recovery never increases again)
+    # stamina += recovery * stamina_inc_max (clamped to stamina_max)
     stamina_max: float = 8000.0
     stamina_inc_max: float = 45.0
     effort_init: float = 1.0
+    effort_dec_thr: float = 0.3
+    effort_dec: float = 0.005
+    effort_min: float = 0.6
+    effort_inc_thr: float = 0.6
+    effort_inc: float = 0.01
+    effort_max: float = 1.0
     recover_init: float = 1.0
+    recover_dec_thr: float = 0.3
+    recover_dec: float = 0.002
+    recover_min: float = 0.5
 
-    # Tackle
+    # Tackle (rcssserver: always an attempt; fails with probability
+    # (|bx|/tackle_dist)^exp + (|by|/tackle_width)^exp in the body frame,
+    # tackler frozen for tackle_cycles either way)
     tackle_cycles: int = 10
     tackle_exponent: float = 6.0
+    tackle_back_dist: float = 0.0
+    max_tackle_power: float = 100.0
+    max_back_tackle_power: float = 0.0
+
+    # Goalie catch: rectangle catchable_area_l x catchable_area_w along the
+    # commanded catch direction, success with catch_probability.
+    catch_probability: float = 1.0
 
     # HFO trial rules (reference server cmd: hfo_game.cpp:8)
     frames_per_trial: int = 500

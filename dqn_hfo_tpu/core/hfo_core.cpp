@@ -53,6 +53,19 @@ inline float rand_pm1(uint64_t* s) {
   return static_cast<float>((r >> 11) * (1.0 / 9007199254740992.0)) * 2.0f - 1.0f;
 }
 
+inline float rand01(uint64_t* s) { return rand_pm1(s) * 0.5f + 0.5f; }
+
+// rcssserver tackle failure probability in the tackler's body frame
+// (mirror of physics.tackle_fail_prob).
+inline float tackle_fail_prob(const CoreParams& p, float rel_x, float rel_y) {
+  float denom_x = rel_x >= 0.0f ? p.tackle_dist : p.tackle_back_dist;
+  float px = denom_x > 1e-6f
+                 ? std::pow(std::fabs(rel_x) / denom_x, p.tackle_exponent)
+                 : 1e30f;
+  float py = std::pow(std::fabs(rel_y) / p.tackle_width, p.tackle_exponent);
+  return std::min(px + py, 1.0f);
+}
+
 inline int unum_of(const CoreGameConfig& cfg, int i) {
   if (i < cfg.n_offense) return 7 + i;
   int d = i - cfg.n_offense;
@@ -119,9 +132,22 @@ void core_default_params(CoreParams* p) {
   p->stamina_max = 8000.0f;
   p->stamina_inc_max = 45.0f;
   p->effort_init = 1.0f;
+  p->effort_dec_thr = 0.3f;
+  p->effort_dec = 0.005f;
+  p->effort_min = 0.6f;
+  p->effort_inc_thr = 0.6f;
+  p->effort_inc = 0.01f;
+  p->effort_max = 1.0f;
   p->recover_init = 1.0f;
+  p->recover_dec_thr = 0.3f;
+  p->recover_dec = 0.002f;
+  p->recover_min = 0.5f;
   p->tackle_cycles = 10;
   p->tackle_exponent = 6.0f;
+  p->tackle_back_dist = 0.0f;
+  p->max_tackle_power = 100.0f;
+  p->max_back_tackle_power = 0.0f;
+  p->catch_probability = 1.0f;
   p->frames_per_trial = 500;
   p->untouched_time = 100;
 }
@@ -147,6 +173,7 @@ void core_step(const CoreParams* pp, const CoreGameConfig* cfgp,
     float px = pl[0], py = pl[1], vx = pl[2], vy = pl[3];
     float body = pl[4], stamina = pl[5];
     int frozen = static_cast<int>(pl[6]);
+    float effort = pl[7];
     int act = frozen > 0 ? kNoop : actions[i];
     new_body[i] = body;
     new_frozen[i] = std::max(frozen - 1, 0);
@@ -155,6 +182,10 @@ void core_step(const CoreParams* pp, const CoreGameConfig* cfgp,
     float ball_dist = std::sqrt(brx * brx + bry * bry);
     float ball_dir_global = std::atan2(bry, brx);
     bool kickable = ball_dist <= karea;
+    // ball offset in the body frame (tackle / catch geometry)
+    float cb = std::cos(body), sb = std::sin(body);
+    float rel_fwd = brx * cb + bry * sb;
+    float rel_lat = -brx * sb + bry * cb;
 
     if (act == kDash) {
       float power = clampf(arg1[i], p.min_power, p.max_power);
@@ -164,7 +195,7 @@ void core_step(const CoreParams* pp, const CoreGameConfig* cfgp,
       float need = back ? 2.0f * std::fabs(power) : power;
       float avail = std::min(need, stamina);
       float power_mag = back ? avail * 0.5f : avail;
-      float amag = power_mag * p.dash_power_rate * p.effort_init * dir_rate(p, eff_dir);
+      float amag = power_mag * p.dash_power_rate * effort * dir_rate(p, eff_dir);
       float aang = body + eff_dir;
       p_accel[i][0] = amag * std::cos(aang);
       p_accel[i][1] = amag * std::sin(aang);
@@ -185,22 +216,50 @@ void core_step(const CoreParams* pp, const CoreGameConfig* cfgp,
                      (1.0f - 0.25f * std::fabs(rel) / kPi - 0.25f * margin);
         float eff = power * rate;
         float kang = new_body[i] + kdir;
-        ball_accel[0] += eff * std::cos(kang);
-        ball_accel[1] += eff * std::sin(kang);
+        float kx = eff * std::cos(kang), ky = eff * std::sin(kang);
+        if (noise_scale != 0.0f) {
+          // rcssserver kick noise: polar-uniform, max radius
+          // kick_rand * power / max_power (mirror of physics.py)
+          float maxrnd = noise_scale * p.kick_rand * power / p.max_power;
+          float nr = rand01(rng_state) * maxrnd;
+          float nth = rand_pm1(rng_state) * kPi;
+          kx += nr * std::cos(nth);
+          ky += nr * std::sin(nth);
+        }
+        ball_accel[0] += kx;
+        ball_accel[1] += ky;
         touched[i] = true;
       }
     } else if (act == kTackle) {
-      if (ball_dist <= p.tackle_dist) {
-        float tdir = deg2rad(clampf(arg1[i], -p.max_moment, p.max_moment));
-        float tang = body + tdir;
-        ball_accel[0] += p.max_power * p.tackle_power_rate * std::cos(tang);
-        ball_accel[1] += p.max_power * p.tackle_power_rate * std::sin(tang);
-        new_frozen[i] = p.tackle_cycles;
+      // Probabilistic tackle: every command is an attempt (freeze either
+      // way); the ball is accelerated only on success.
+      float tdeg = clampf(arg1[i], -p.max_moment, p.max_moment);
+      float fail_p = tackle_fail_prob(p, rel_fwd, rel_lat);
+      float u = noise_scale != 0.0f ? rand01(rng_state) : 0.5f;
+      new_frozen[i] = p.tackle_cycles;
+      if (u < 1.0f - fail_p) {
+        float eff = (p.max_back_tackle_power +
+                     (p.max_tackle_power - p.max_back_tackle_power) *
+                         (1.0f - std::fabs(tdeg) / 180.0f)) *
+                    p.tackle_power_rate;
+        float tang = body + deg2rad(tdeg);
+        ball_accel[0] += eff * std::cos(tang);
+        ball_accel[1] += eff * std::sin(tang);
         touched[i] = true;
       }
     } else if (act == kCatch) {
+      // Catch rectangle along the commanded direction + catch_probability.
       bool is_goalie = cfg.defense_goalie && i == cfg.n_offense;
-      if (is_goalie && ball_dist <= p.catchable_area_l) caught = true;
+      if (is_goalie) {
+        float cang = deg2rad(clampf(arg1[i], -p.max_moment, p.max_moment));
+        float cc = std::cos(cang), sc = std::sin(cang);
+        float cf = rel_fwd * cc + rel_lat * sc;
+        float cl = -rel_fwd * sc + rel_lat * cc;
+        bool in_rect = cf >= 0.0f && cf <= p.catchable_area_l &&
+                       std::fabs(cl) <= p.catchable_area_w * 0.5f;
+        float u = noise_scale != 0.0f ? rand01(rng_state) : 0.5f;
+        if (in_rect && u < p.catch_probability) caught = true;
+      }
     }
   }
 
@@ -235,7 +294,39 @@ void core_step(const CoreParams* pp, const CoreGameConfig* cfgp,
   nb_vel[0] *= p.ball_decay;
   nb_vel[1] *= p.ball_decay;
 
-  // Ball-player collision: push out of the nearest colliding player.
+  // Player-player collisions: single pass, both back off by half the
+  // overlap, collided velocities scaled by -0.1 (mirror of physics.py;
+  // displacements accumulate against pre-resolution positions).
+  if (P > 1) {
+    float disp[11][2] = {};
+    bool p_coll[11] = {};
+    for (int i = 0; i < P; ++i) {
+      for (int j = 0; j < P; ++j) {
+        if (j == i) continue;
+        float dx = new_pos[i][0] - new_pos[j][0];
+        float dy = new_pos[i][1] - new_pos[j][1];
+        float d = std::sqrt(dx * dx + dy * dy);
+        if (d < 2.0f * p.player_size) {
+          float dmax = std::max(d, 1e-6f);
+          float push = 0.5f * (2.0f * p.player_size - d);
+          disp[i][0] += push * dx / dmax;
+          disp[i][1] += push * dy / dmax;
+          p_coll[i] = true;
+        }
+      }
+    }
+    for (int i = 0; i < P; ++i) {
+      new_pos[i][0] += disp[i][0];
+      new_pos[i][1] += disp[i][1];
+      if (p_coll[i]) {
+        new_vel[i][0] *= -0.1f;
+        new_vel[i][1] *= -0.1f;
+      }
+    }
+  }
+
+  // Ball-player collision: symmetric — ball and the nearest colliding player
+  // each back off by half the overlap, both velocities scaled by -0.1.
   float min_sep = p.player_size + p.ball_size;
   int nearest = -1;
   float nearest_d = 1e30f;
@@ -250,10 +341,15 @@ void core_step(const CoreParams* pp, const CoreGameConfig* cfgp,
   if (nearest >= 0) {
     float dx = nb_pos[0] - new_pos[nearest][0], dy = nb_pos[1] - new_pos[nearest][1];
     float d = std::max(nearest_d, 1e-6f);
-    nb_pos[0] = new_pos[nearest][0] + dx / d * min_sep;
-    nb_pos[1] = new_pos[nearest][1] + dy / d * min_sep;
+    float half_overlap = 0.5f * (min_sep - nearest_d);
+    nb_pos[0] += dx / d * half_overlap;
+    nb_pos[1] += dy / d * half_overlap;
     nb_vel[0] *= -0.1f;
     nb_vel[1] *= -0.1f;
+    new_pos[nearest][0] -= dx / d * half_overlap;
+    new_pos[nearest][1] -= dy / d * half_overlap;
+    new_vel[nearest][0] *= -0.1f;
+    new_vel[nearest][1] *= -0.1f;
   }
 
   // Toucher tracking (lowest-index toucher wins)
@@ -274,16 +370,27 @@ void core_step(const CoreParams* pp, const CoreGameConfig* cfgp,
     st->untouched += 1;
   }
 
-  // Stamina + writeback
+  // Stamina / effort / recovery (rcssserver updateStamina order) + writeback
   for (int i = 0; i < P; ++i) {
     float* pl = st->players + i * kPlayerStride;
+    float st0 = pl[5] - stamina_used[i];
+    float effort = pl[7];
+    if (st0 <= p.effort_dec_thr * p.stamina_max)
+      effort = std::max(effort - p.effort_dec, p.effort_min);
+    if (st0 >= p.effort_inc_thr * p.stamina_max)
+      effort = std::min(effort + p.effort_inc, p.effort_max);
+    float recovery = pl[8];
+    if (st0 <= p.recover_dec_thr * p.stamina_max)
+      recovery = std::max(recovery - p.recover_dec, p.recover_min);
     pl[0] = new_pos[i][0];
     pl[1] = new_pos[i][1];
     pl[2] = new_vel[i][0];
     pl[3] = new_vel[i][1];
     pl[4] = new_body[i];
-    pl[5] = clampf(pl[5] - stamina_used[i] + p.stamina_inc_max, 0.0f, p.stamina_max);
+    pl[5] = clampf(st0 + recovery * p.stamina_inc_max, 0.0f, p.stamina_max);
     pl[6] = static_cast<float>(new_frozen[i]);
+    pl[7] = effort;
+    pl[8] = recovery;
   }
   st->ball_pos[0] = nb_pos[0];
   st->ball_pos[1] = nb_pos[1];
@@ -522,8 +629,9 @@ void core_npc_action(const CoreParams* pp, const CoreState* st,
   bool can_catch = is_goalie && dist <= p.catchable_area_l;
   bool misaligned = std::fabs(rel_ang) > 0.1f * kPi;
   if (can_catch) {
+    // CATCH arg1 = catch direction (deg, body-relative): aim at the ball.
     *act = kCatch;
-    *arg1 = 100.0f;
+    *arg1 = rel_ang * (180.0f / kPi);
   } else if (misaligned) {
     *act = kTurn;
     *arg1 = 90.0f * (rel_ang / kPi);

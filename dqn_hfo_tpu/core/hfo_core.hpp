@@ -4,7 +4,8 @@
 // feature encoder, and reward shaping as the JAX engine
 // (dqn_hfo_tpu/env/{physics,features,reward}.py). Serves as the
 // golden-trajectory oracle: the vectorized XLA-compiled engine is validated
-// against this core step-for-step under deterministic dynamics
+// against this core step-for-step under deterministic dynamics, and
+// distribution-level (moment) tests cross-check the stochastic mechanics
 // (SURVEY.md §7 layer 1; the role rcssserver itself plays for the reference,
 // /root/reference/src/hfo_game.cpp:22-38).
 //
@@ -28,7 +29,9 @@ enum CoreStatus : int32_t {
   kOutOfTime = 4
 };
 
-struct CoreParams {           // mirrors constants.ServerParams
+// Field order mirrors constants.ServerParams exactly (core_bridge.py builds
+// the ctypes Structure from the same ordered list).
+struct CoreParams {
   float pitch_length, pitch_width, goal_width;
   float penalty_area_length, penalty_area_width;
   float player_size, ball_size, kickable_margin;
@@ -39,9 +42,14 @@ struct CoreParams {           // mirrors constants.ServerParams
   float inertia_moment, max_power, min_power, max_moment;
   float side_dash_rate, back_dash_rate;
   float player_rand, ball_rand, kick_rand;
-  float stamina_max, stamina_inc_max, effort_init, recover_init;
+  float stamina_max, stamina_inc_max;
+  float effort_init, effort_dec_thr, effort_dec, effort_min;
+  float effort_inc_thr, effort_inc, effort_max;
+  float recover_init, recover_dec_thr, recover_dec, recover_min;
   int32_t tackle_cycles;
-  float tackle_exponent;
+  float tackle_exponent, tackle_back_dist;
+  float max_tackle_power, max_back_tackle_power;
+  float catch_probability;
   int32_t frames_per_trial, untouched_time;
 };
 
@@ -52,13 +60,14 @@ struct CoreGameConfig {
   int32_t defense_goalie;     // first defender is goalie (bool)
 };
 
-// Flat player state stride: pos(2) vel(2) body stamina frozen = 7 floats
-constexpr int kPlayerStride = 7;
+// Flat player state stride:
+// pos(2) vel(2) body stamina frozen effort recovery = 9 floats
+constexpr int kPlayerStride = 9;
 
 struct CoreState {
   float ball_pos[2];
   float ball_vel[2];
-  float players[7 * 11];      // up to 11 players, kPlayerStride each
+  float players[9 * 11];      // up to 11 players, kPlayerStride each
   int32_t t, untouched, status, last_toucher_side, last_toucher_unum;
 };
 
@@ -73,7 +82,9 @@ struct CoreShaping {
 void core_default_params(CoreParams* p);
 
 // One simulator cycle. actions/arg1/arg2 are length n_players.
-// noise_scale=0 gives deterministic dynamics (parity mode).
+// noise_scale=0 gives deterministic dynamics (parity mode): every random
+// draw is replaced by a fixed u=0.5, so stochastic mechanics (tackle/catch
+// success) become sharp thresholds identical to the JAX engine's.
 void core_step(const CoreParams* p, const CoreGameConfig* cfg,
                CoreState* state, const int32_t* actions, const float* arg1,
                const float* arg2, float noise_scale, uint64_t* rng_state);

@@ -40,10 +40,21 @@ _PARAM_FIELDS = [
     ("back_dash_rate", ctypes.c_float), ("player_rand", ctypes.c_float),
     ("ball_rand", ctypes.c_float), ("kick_rand", ctypes.c_float),
     ("stamina_max", ctypes.c_float), ("stamina_inc_max", ctypes.c_float),
-    ("effort_init", ctypes.c_float), ("recover_init", ctypes.c_float),
+    ("effort_init", ctypes.c_float), ("effort_dec_thr", ctypes.c_float),
+    ("effort_dec", ctypes.c_float), ("effort_min", ctypes.c_float),
+    ("effort_inc_thr", ctypes.c_float), ("effort_inc", ctypes.c_float),
+    ("effort_max", ctypes.c_float), ("recover_init", ctypes.c_float),
+    ("recover_dec_thr", ctypes.c_float), ("recover_dec", ctypes.c_float),
+    ("recover_min", ctypes.c_float),
     ("tackle_cycles", ctypes.c_int32), ("tackle_exponent", ctypes.c_float),
+    ("tackle_back_dist", ctypes.c_float),
+    ("max_tackle_power", ctypes.c_float),
+    ("max_back_tackle_power", ctypes.c_float),
+    ("catch_probability", ctypes.c_float),
     ("frames_per_trial", ctypes.c_int32), ("untouched_time", ctypes.c_int32),
 ]
+
+PLAYER_STRIDE = 9  # pos(2) vel(2) body stamina frozen effort recovery
 
 
 class CParams(ctypes.Structure):
@@ -60,7 +71,7 @@ class CGameConfig(ctypes.Structure):
 class CState(ctypes.Structure):
     _fields_ = [
         ("ball_pos", ctypes.c_float * 2), ("ball_vel", ctypes.c_float * 2),
-        ("players", ctypes.c_float * (7 * 11)),
+        ("players", ctypes.c_float * (PLAYER_STRIDE * 11)),
         ("t", ctypes.c_int32), ("untouched", ctypes.c_int32),
         ("status", ctypes.c_int32), ("last_toucher_side", ctypes.c_int32),
         ("last_toucher_unum", ctypes.c_int32),
@@ -164,13 +175,14 @@ class CoreEnv:
     # -- state injection from the JAX engine -------------------------------
     def set_state(self, ball_pos, ball_vel, p_pos, p_vel, p_body, p_stamina,
                   p_frozen, t=0, untouched=0, status=0,
-                  last_side=C.SIDE_NONE, last_unum=-1):
+                  last_side=C.SIDE_NONE, last_unum=-1,
+                  p_effort=None, p_recovery=None):
         s = self.state
         s.ball_pos[:] = np.asarray(ball_pos, np.float32)
         s.ball_vel[:] = np.asarray(ball_vel, np.float32)
         P = self.cfg.n_players
         for i in range(P):
-            base = i * 7
+            base = i * PLAYER_STRIDE
             s.players[base + 0] = float(p_pos[i][0])
             s.players[base + 1] = float(p_pos[i][1])
             s.players[base + 2] = float(p_vel[i][0])
@@ -178,6 +190,11 @@ class CoreEnv:
             s.players[base + 4] = float(p_body[i])
             s.players[base + 5] = float(p_stamina[i])
             s.players[base + 6] = float(p_frozen[i])
+            s.players[base + 7] = (float(p_effort[i]) if p_effort is not None
+                                   else self.sp.effort_init)
+            s.players[base + 8] = (float(p_recovery[i])
+                                   if p_recovery is not None
+                                   else self.sp.recover_init)
         s.t, s.untouched, s.status = int(t), int(untouched), int(status)
         s.last_toucher_side, s.last_toucher_unum = int(last_side), int(last_unum)
 
@@ -188,6 +205,8 @@ class CoreEnv:
             np.asarray(env_state.p_stamina), np.asarray(env_state.p_frozen),
             int(env_state.t), int(env_state.untouched), int(env_state.status),
             int(env_state.last_toucher_side), int(env_state.last_toucher_unum),
+            p_effort=np.asarray(env_state.p_effort),
+            p_recovery=np.asarray(env_state.p_recovery),
         )
 
     def observe(self, agent_idx: int = 0) -> np.ndarray:

@@ -100,6 +100,8 @@ class HFOEnv:
             p_vel=jnp.zeros((P, 2), F32),
             p_body=p_body,
             p_stamina=jnp.full((P,), sp.stamina_max, F32),
+            p_effort=jnp.full((P,), sp.effort_init, F32),
+            p_recovery=jnp.full((P,), sp.recover_init, F32),
             p_frozen=jnp.zeros((P,), jnp.int32),
             t=jnp.asarray(0, jnp.int32),
             untouched=jnp.asarray(0, jnp.int32),

@@ -46,7 +46,12 @@ def chaser_action(sp: ServerParams, state: EnvState, player_idx, is_goalie):
         can_catch, C.CATCH, jnp.where(misaligned, C.TURN, C.DASH)
     ).astype(jnp.int32)
     # TURN moment: 90 * normalized angle error (chaser.cxx:48), in degrees.
+    # CATCH arg1 is the catch direction (degrees relative to body): aim the
+    # catchable rectangle at the ball.
     turn_deg = 90.0 * (rel_ang / jnp.pi)
-    arg1 = jnp.where(misaligned & ~can_catch, turn_deg, 100.0).astype(jnp.float32)
+    catch_deg = rel_ang * (180.0 / jnp.pi)
+    arg1 = jnp.where(
+        can_catch, catch_deg, jnp.where(misaligned, turn_deg, 100.0)
+    ).astype(jnp.float32)
     arg2 = jnp.zeros((), jnp.float32)
     return act, arg1, arg2

@@ -48,6 +48,8 @@ class EnvState:
     p_vel: Any      # (P, 2)
     p_body: Any     # (P,) radians in [-pi, pi)
     p_stamina: Any  # (P,)
+    p_effort: Any   # (P,) — dash efficiency, degrades below effort_dec_thr
+    p_recovery: Any  # (P,) — stamina recovery rate, degrades monotonically
     p_frozen: Any   # (P,) i32 — cycles remaining frozen (post-tackle)
 
     # Referee / trial state

@@ -228,14 +228,29 @@ def _agent_replay_view(replay: rp.ReplayState, agent: int, n_agents: int,
 
 
 def multi_update_once(mls: LearnerState, replay: rp.ReplayState,
-                      dcfg: DDPGConfig, mcfg: MultiConfig):
+                      dcfg: DDPGConfig, mcfg: MultiConfig, axis_name=None):
     """One iteration for every agent.
 
-    Without sharing the agents are independent (unrolled for per-agent
-    replay views); with sharing, each agent's step starts from the shared
+    Without sharing the agents are independent and run as ONE vmapped
+    program over the agent axis (compile time and program size stay
+    constant in A); with sharing, each agent's step starts from the shared
     prefix left by the previous agent — the deterministic serialization of
-    the reference's concurrent ShareData mutation."""
+    the reference's concurrent ShareData mutation — which forces a
+    sequential unroll.
+
+    `axis_name` threads the data-parallel mesh axis into each agent's
+    update (per-shard replay sampling + gradient pmean, see
+    ddpg.update_once); vmap over agents composes with the mesh collective.
+    """
     A = mcfg.n_agents
+    if mcfg.share_actor_layers == 0 and mcfg.share_critic_layers == 0:
+        def one(ls_a, a):
+            view = _agent_replay_view(replay, a, A, mcfg.share_replay)
+            return update_once(ls_a, view, dcfg, axis_name)
+
+        stacked, (closs, avg_q) = jax.vmap(one)(mls, jnp.arange(A))
+        return stacked, (jnp.mean(closs), jnp.mean(avg_q))
+
     per_agent = [jax.tree_util.tree_map(lambda x: x[a], mls)
                  for a in range(A)]
     metrics = []
@@ -255,7 +270,7 @@ def multi_update_once(mls: LearnerState, replay: rp.ReplayState,
                                            mcfg.share_critic_layers),
             )
         view = _agent_replay_view(replay, a, A, mcfg.share_replay)
-        ls, m = update_once(ls, view, dcfg)
+        ls, m = update_once(ls, view, dcfg, axis_name)
         per_agent[a] = ls
         metrics.append(m)
     # propagate the final shared prefix back to every agent
@@ -282,8 +297,11 @@ def multi_update_once(mls: LearnerState, replay: rp.ReplayState,
 
 
 def multi_update_n(mls, replay, dcfg: DDPGConfig, mcfg: MultiConfig,
-                   n_updates, max_updates: int):
+                   n_updates, max_updates: int, axis_name=None):
     count = rp.valid_count(replay)
+    if axis_name is not None:
+        # all shards must agree on the gate or collectives would diverge
+        count = jax.lax.psum(count, axis_name)
     enough = count >= dcfg.memory_threshold
 
     def body(carry, i):
@@ -291,7 +309,7 @@ def multi_update_n(mls, replay, dcfg: DDPGConfig, mcfg: MultiConfig,
         do = (i < n_updates) & enough
 
         def run(s):
-            return multi_update_once(s, replay, dcfg, mcfg)
+            return multi_update_once(s, replay, dcfg, mcfg, axis_name)
 
         def skip(s):
             return s, (jnp.asarray(0.0, F32), jnp.asarray(0.0, F32))

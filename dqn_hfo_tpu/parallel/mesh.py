@@ -12,6 +12,13 @@ Layout:
   - One dp_train_step = rollout chunk (fully shard-local) + U learner
     iterations whose gradients are pmean'd — a single jitted SPMD program.
 
+Multi-agent composition (reference: thread-per-agent + ShareData/shared
+replay, dqn_main.cpp:305-323): pass a MultiConfig and an env whose
+offense_agents > 1 — the program becomes stacked per-agent learners
+(vmapped when independent, serialized shared-prefix propagation when layer
+sharing is on) over the same sharded env axis, so 2v2-with-sharing runs
+data-parallel exactly like 1v0.
+
 Multi-host extension: the same code runs under jax.distributed with a global
 mesh; all collectives stay in one jit.
 """
@@ -20,7 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +39,8 @@ from dqn_hfo_tpu.learner import replay as rp
 from dqn_hfo_tpu.learner.collector import (CollectorState, WindowState,
                                            init_collector, rollout_chunk)
 from dqn_hfo_tpu.learner.ddpg import DDPGConfig, LearnerState, update_n
+from dqn_hfo_tpu.learner.multi import (MultiConfig, init_multi_collector,
+                                       multi_rollout_chunk, multi_update_n)
 
 
 def make_mesh(n_devices: int = 0) -> Mesh:
@@ -42,7 +51,12 @@ def make_mesh(n_devices: int = 0) -> Mesh:
 
 
 def collector_specs(cs: CollectorState) -> CollectorState:
-    """PartitionSpecs for a CollectorState: env axis -> 'data'."""
+    """PartitionSpecs for a CollectorState: env axis -> 'data'.
+
+    Works for both the single-agent collector (obs (E,F), windows (K,E)) and
+    the multi-agent one (obs (E,A,F), windows (K,A*E) agent-major within the
+    shard) — in each case the leading env axis shards and the per-step window
+    column axis is shard-local."""
     env_specs = jax.tree_util.tree_map(lambda _: P("data"), cs.env_states)
     return CollectorState(
         env_states=env_specs,
@@ -69,7 +83,11 @@ def replay_specs() -> rp.ReplayState:
 
 @dataclasses.dataclass
 class DataParallel:
-    """Builds and owns the sharded init + train-step programs."""
+    """Builds and owns the sharded init + train-step programs.
+
+    With `mcfg` set (n_agents > 1), the learner state is the stacked
+    multi-agent LearnerState and the replay's column axis is the shard-local
+    agent-major (A, E_shard) grid."""
 
     mesh: Mesh
     env: HFOEnv
@@ -80,23 +98,25 @@ class DataParallel:
     max_updates: int
     gamma: float = 0.99
     compute_dtype: Any = None
+    mcfg: Optional[MultiConfig] = None
 
     def __post_init__(self):
         n = self.mesh.devices.size
         assert self.n_envs % n == 0, "envs must divide the mesh"
         assert self.dcfg.minibatch % n == 0, "minibatch must divide the mesh"
+        if self.mcfg is not None:
+            assert self.mcfg.n_agents == self.env.cfg.offense_agents
         self.n_shards = n
         self.env_per_shard = self.n_envs // n
         self.venv_shard = VecHFOEnv(self.env, self.env_per_shard)
+        self.n_agents = self.mcfg.n_agents if self.mcfg else 1
         # per-shard learner sees the local minibatch; grads are pmean'd
         self.dcfg_local = dataclasses.replace(
             self.dcfg, minibatch=self.dcfg.minibatch // n)
 
         # template (abstract) collector state for spec construction
         cs_shape = jax.eval_shape(
-            lambda k: init_collector(self.venv_shard, k, self.chunk_len),
-            jax.random.PRNGKey(0),
-        )
+            lambda k: self._make_collector(k), jax.random.PRNGKey(0))
         self._cspecs = collector_specs(cs_shape)
         self._rspecs = replay_specs()
 
@@ -107,9 +127,9 @@ class DataParallel:
         def _init(key):
             i = jax.lax.axis_index("data")
             k = jax.random.fold_in(key[0], i)
-            cs = init_collector(self.venv_shard, k, self.chunk_len)
+            cs = self._make_collector(k)
             rs = rp.init_replay(self.memory // self.n_shards,
-                                self.env_per_shard,
+                                self.n_agents * self.env_per_shard,
                                 self.dcfg.state_size,
                                 action_size=self.dcfg.space.output_size)
             return cs, rs
@@ -123,17 +143,35 @@ class DataParallel:
             check_vma=False,
         )
         def _step(ls, cs, rs, eps, n_updates):
-            cs, rs, m = rollout_chunk(
-                cs, rs, ls.actor, eps, self.venv_shard, self.chunk_len,
-                self.gamma, self.compute_dtype, self.dcfg.space,
-            )
+            if self.mcfg is None:
+                cs, rs, m = rollout_chunk(
+                    cs, rs, ls.actor, eps, self.venv_shard, self.chunk_len,
+                    self.gamma, self.compute_dtype, self.dcfg.space,
+                )
+            else:
+                cs, rs, m = multi_rollout_chunk(
+                    cs, rs, ls.actor, eps, self.venv_shard, self.chunk_len,
+                    self.gamma, self.n_agents, self.compute_dtype,
+                    self.dcfg.space,
+                )
             m = jax.tree_util.tree_map(
                 lambda x: jax.lax.psum(x, "data"), m)
-            ls, um = update_n(ls, rs, self.dcfg_local, n_updates,
-                              self.max_updates, axis_name="data")
+            if self.mcfg is None:
+                ls, um = update_n(ls, rs, self.dcfg_local, n_updates,
+                                  self.max_updates, axis_name="data")
+            else:
+                ls, um = multi_update_n(ls, rs, self.dcfg_local, self.mcfg,
+                                        n_updates, self.max_updates,
+                                        axis_name="data")
             return ls, cs, rs, m, um
 
         self._step_fn = jax.jit(_step, donate_argnums=(0, 1, 2))
+
+    def _make_collector(self, key):
+        if self.mcfg is None:
+            return init_collector(self.venv_shard, key, self.chunk_len)
+        return init_multi_collector(self.venv_shard, key, self.chunk_len,
+                                    self.n_agents)
 
     # ------------------------------------------------------------------ API
     def init_state(self, key):

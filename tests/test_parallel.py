@@ -11,6 +11,8 @@ from dqn_hfo_tpu.env.hfo_env import HFOEnv
 from dqn_hfo_tpu.env.state import EnvConfig
 from dqn_hfo_tpu.learner import replay as rp
 from dqn_hfo_tpu.learner.ddpg import DDPGConfig, init_learner
+from dqn_hfo_tpu.learner.multi import (MultiConfig, _shared_leaf_paths,
+                                       init_multi_learner)
 from dqn_hfo_tpu.parallel.mesh import DataParallel, make_mesh
 
 
@@ -71,6 +73,71 @@ class TestDataParallel:
         shards = [np.asarray(s.data) for s in w.addressable_shards]
         for s in shards[1:]:
             np.testing.assert_array_equal(shards[0], s)
+
+    def test_multiagent_dp_2v2_with_sharing(self):
+        """The reference's headline 2v2 sharing topology
+        (dqn_main.cpp:305-323, train.sh:116-124) running data-parallel:
+        2 learning agents + keeper/defender NPCs, first-4-layer actor
+        sharing and a shared replay, on the 8-device mesh."""
+        import dataclasses as dc
+        mesh = make_mesh()
+        sp = dc.replace(DEFAULT_PARAMS, frames_per_trial=24, untouched_time=16)
+        env = HFOEnv(EnvConfig(offense_agents=2, defense_npcs=2,
+                               defense_goalie=True), sp, noise_scale=1.0)
+        dcfg = DDPGConfig(state_size=env.cfg.state_size, minibatch=16,
+                          memory_threshold=32)
+        mcfg = MultiConfig(n_agents=2, share_actor_layers=4,
+                           share_critic_layers=2, share_replay=True)
+        dp = DataParallel(mesh=mesh, env=env, n_envs=16, chunk_len=24,
+                          dcfg=dcfg, memory=4096, max_updates=4,
+                          gamma=dcfg.gamma, mcfg=mcfg)
+        mls = init_multi_learner(jax.random.PRNGKey(0), dcfg, mcfg)
+        mls = dp.replicate_learner(mls)
+        cs, rs = dp.init_state(jax.random.PRNGKey(1))
+        for _ in range(3):
+            mls, cs, rs, m, um = dp.train_step(mls, cs, rs, 1.0, 4)
+        assert int(m["env_steps"]) == 16 * 24
+        assert int(um["updates"]) == 4
+        # shared actor prefix identical across BOTH agents after DP updates
+        actor = jax.device_get(mls.actor)
+        for path in _shared_leaf_paths(
+                jax.tree_util.tree_map(lambda x: x[0], actor), 4):
+            sub = (actor["tower"][path[1]] if path[0] == "tower"
+                   else actor[path[0]])
+            for leaf in jax.tree_util.tree_leaves(sub):
+                np.testing.assert_array_equal(leaf[0], leaf[1])
+        # non-shared head diverges (independent per-agent updates)
+        ph = actor["param_head"]["w"]
+        assert not np.allclose(ph[0], ph[1])
+        # replicated-across-shards invariant holds for the stacked learner
+        w = mls.actor["tower"][0]["w"]
+        shards = [np.asarray(s.data) for s in w.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+
+    def test_multiagent_dp_independent_vmapped(self):
+        """No layer sharing: the agent axis runs as one vmapped program
+        (no Python unroll); each agent samples only its own replay block."""
+        import dataclasses as dc
+        mesh = make_mesh()
+        sp = dc.replace(DEFAULT_PARAMS, frames_per_trial=24, untouched_time=16)
+        env = HFOEnv(EnvConfig(offense_agents=2), sp, noise_scale=1.0)
+        dcfg = DDPGConfig(state_size=env.cfg.state_size, minibatch=16,
+                          memory_threshold=32)
+        mcfg = MultiConfig(n_agents=2)
+        dp = DataParallel(mesh=mesh, env=env, n_envs=8, chunk_len=24,
+                          dcfg=dcfg, memory=2048, max_updates=4,
+                          gamma=dcfg.gamma, mcfg=mcfg)
+        mls = init_multi_learner(jax.random.PRNGKey(0), dcfg, mcfg)
+        w0 = np.asarray(mls.actor["tower"][0]["w"])
+        mls = dp.replicate_learner(mls)
+        cs, rs = dp.init_state(jax.random.PRNGKey(1))
+        for _ in range(3):
+            mls, cs, rs, m, um = dp.train_step(mls, cs, rs, 1.0, 4)
+        assert int(um["updates"]) == 4
+        w1 = np.asarray(jax.device_get(mls.actor["tower"][0]["w"]))
+        assert not np.allclose(w0, w1)           # both agents actually train
+        assert not np.allclose(w1[0], w1[1])     # ...independently
 
     def test_dp_matches_single_device_update_semantics(self):
         """A DP update with global batch 32 over 8 shards equals (in
