@@ -1,16 +1,22 @@
-"""Benchmark: vectorized env throughput (BASELINE.json config 2).
+"""Benchmark: the three honest numbers for the TPU-native HFO framework.
 
-Steps B lockstep 1v0 env instances under one jitted scan — random
-parameterized actions through the full pipeline (action decode, physics,
-feature encoder, reward shaping, auto-reset) — and reports aggregate
-env-steps/s.  Baseline target: 1,000,000 env-steps/s on one host
-(BASELINE.md).
+1. value (headline)          — rollout throughput WITH the actor forward on
+   the hot path (greedy eps=0 selection, argmax-no-tackle decode, physics,
+   encoder, reward shaping, banked auto-reset), the pipeline a real training
+   rollout runs every step.  Baseline target: 1,000,000 env-steps/s on one
+   host (BASELINE.md).
+2. extra.env_only_steps_per_s — the same pipeline with random actor outputs
+   (no actor MLP), the upper bound set by the simulator itself.
+3. extra.train_env_steps_per_s + extra.avg_update_ms — the coupled
+   train-step rate: rollout chunks with int(steps * update_ratio) DDPG
+   updates per chunk (the reference's episode-coupled cadence,
+   dqn_main.cpp:358-362) at the RESULTS.md training config (128 envs), and
+   the avg per-update latency (DQN::Benchmark, dqn.cpp:487-498).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-Secondary metrics (learner update latency) go to stderr.
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-Usage: python bench.py [--quick] [--envs N] [--steps N]
+Usage: python bench.py [--quick] [--envs N] [--steps N] [--skip-train-bench]
 """
 
 import argparse
@@ -33,81 +39,116 @@ except Exception:
 BASELINE_STEPS_PER_S = 1_000_000.0
 
 
-def bench_env(n_envs: int, n_steps: int, repeats: int = 3) -> float:
+def bench_env(n_envs: int, n_steps: int, repeats: int = 3,
+              with_actor: bool = True) -> float:
+    """Aggregate env-steps/s over a jitted chunk of B lockstep 1v0 envs.
+
+    with_actor=True runs the full training rollout hot path: greedy actor
+    forward (1024-512-256-128 MLP) + decode every step.  with_actor=False
+    replaces the policy with random ActorOutputs (env-only upper bound)."""
     from dqn_hfo_tpu.constants import DEFAULT_PARAMS
     from dqn_hfo_tpu.env.hfo_env import HFOEnv, VecHFOEnv
     from dqn_hfo_tpu.env.state import EnvConfig
-    from dqn_hfo_tpu.learner.agent import decode_action, random_actor_output
+    from dqn_hfo_tpu.learner.agent import (decode_action, random_actor_output,
+                                           select_actions)
+    from dqn_hfo_tpu.learner.ddpg import DDPGConfig, init_learner
 
     env = HFOEnv(EnvConfig(), DEFAULT_PARAMS, noise_scale=1.0)
     venv = VecHFOEnv(env, n_envs)
+    actor = init_learner(jax.random.PRNGKey(7),
+                         DDPGConfig(state_size=59)).actor
 
-    def chunk(states, key):
+    def chunk(states, obs, key):
         # Reset bank generated inside the timed region — auto-reset is part
         # of the pipeline being measured (see VecHFOEnv.step_banked).
         key, k_bank = jax.random.split(key)
-        bank = venv.make_reset_bank(k_bank, rounds=8)
+        bank = venv.make_reset_bank(k_bank, rounds=venv.bank_rounds(n_steps))
         counters = jnp.zeros((n_envs,), jnp.int32)
 
         def step(carry, _):
-            states, counters, key = carry
+            states, counters, obs, key = carry
             key, k = jax.random.split(key)
-            out = random_actor_output(k, (n_envs,))
+            if with_actor:
+                out = select_actions(actor, obs[:, 0, :], k,
+                                     jnp.asarray(0.0, jnp.float32))
+            else:
+                out = random_actor_output(k, (n_envs,))
             a, p1, p2, p3 = decode_action(out)
             states, counters, obs, info = venv.step_banked(
                 states, counters, bank, a[:, None], p1[:, None],
                 p2[:, None], p3[:, None])
-            return (states, counters, key), info.reward[:, 0].sum()
+            return (states, counters, obs, key), info.reward[:, 0].sum()
 
-        (states, counters, key), rs = jax.lax.scan(
-            step, (states, counters, key), None, length=n_steps)
-        return states, key, rs.sum()
+        (states, counters, obs, key), rs = jax.lax.scan(
+            step, (states, counters, obs, key), None, length=n_steps)
+        return states, obs, key, rs.sum()
 
     chunk = jax.jit(chunk, donate_argnums=(0,))
     key = jax.random.PRNGKey(0)
-    states, _ = jax.jit(venv.reset)(key)
+    states, obs = jax.jit(venv.reset)(key)
     # compile + warmup
-    states, key, _ = chunk(states, key)
+    states, obs, key, _ = chunk(states, obs, key)
     jax.block_until_ready(states.ball_pos)
     best = 0.0
     for _ in range(repeats):
         t0 = time.perf_counter()
-        states, key, s = chunk(states, key)
+        states, obs, key, s = chunk(states, obs, key)
         jax.block_until_ready(s)
         dt = time.perf_counter() - t0
         best = max(best, n_envs * n_steps / dt)
     return best
 
 
-def bench_update(iterations: int = 200) -> float:
-    """Avg ms per actor-critic update (the reference --benchmark metric,
-    dqn.cpp:487-498)."""
+def bench_train(n_envs: int, chunk_len: int, update_ratio: float = 0.1,
+                n_chunks: int = 3):
+    """Coupled train-step rate: rollout chunk + int(steps*update_ratio)
+    DDPG updates, the real training cadence.  Returns
+    (train_env_steps_per_s, avg_update_ms)."""
     import functools
 
+    from dqn_hfo_tpu.constants import DEFAULT_PARAMS
+    from dqn_hfo_tpu.env.hfo_env import HFOEnv, VecHFOEnv
+    from dqn_hfo_tpu.env.state import EnvConfig
     from dqn_hfo_tpu.learner import replay as rp
-    from dqn_hfo_tpu.learner.agent import random_actor_output
+    from dqn_hfo_tpu.learner.collector import init_collector, rollout_chunk
     from dqn_hfo_tpu.learner.ddpg import DDPGConfig, init_learner, update_n
 
-    cfg = DDPGConfig(state_size=59, memory_threshold=1)
-    ls = init_learner(jax.random.PRNGKey(0), cfg)
-    rs = rp.init_replay(4096, 32, 59)
-    key = jax.random.PRNGKey(1)
-    for i in range(8):
-        key, k = jax.random.split(key)
-        obs = jax.random.normal(k, (32, 59))
-        act = random_actor_output(k, (32,))
-        rs, sid = rp.write_step(rs, obs, act, jnp.zeros(32), obs,
-                                jnp.ones(32, bool))
-        rs = rp.label_rows(rs, jnp.asarray([sid], jnp.int32),
-                           jnp.zeros((1, 32)), jnp.ones((1, 32), bool))
-    upd = jax.jit(functools.partial(update_n, cfg=cfg,
-                                    max_updates=iterations))
-    ls, _ = upd(ls, rs, n_updates=jnp.asarray(1, jnp.int32))
+    env = HFOEnv(EnvConfig(), DEFAULT_PARAMS, noise_scale=1.0)
+    venv = VecHFOEnv(env, n_envs)
+    dcfg = DDPGConfig(state_size=59, memory_threshold=1000)
+    updates_per_chunk = int(n_envs * chunk_len * update_ratio)
+
+    ls = init_learner(jax.random.PRNGKey(0), dcfg)
+    replay = rp.init_replay(500_000, n_envs, 59)
+    cs = init_collector(venv, jax.random.PRNGKey(1), chunk_len)
+    roll = jax.jit(functools.partial(
+        rollout_chunk, venv=venv, chunk_len=chunk_len, gamma=dcfg.gamma),
+        donate_argnums=(0, 1))
+    upd = jax.jit(functools.partial(
+        update_n, cfg=dcfg, max_updates=updates_per_chunk),
+        donate_argnums=(0,))
+    n_up = jnp.asarray(updates_per_chunk, jnp.int32)
+    eps = jnp.asarray(0.1, jnp.float32)
+
+    # warmup: fill window + replay, compile both programs
+    cs, replay, _ = roll(cs, replay, ls.actor, eps)
+    cs, replay, _ = roll(cs, replay, ls.actor, eps)
+    ls, _ = upd(ls, replay, n_updates=n_up)
     jax.block_until_ready(ls.actor)
+
     t0 = time.perf_counter()
-    ls, _ = upd(ls, rs, n_updates=jnp.asarray(iterations, jnp.int32))
+    for _ in range(n_chunks):
+        cs, replay, m = roll(cs, replay, ls.actor, eps)
+        ls, um = upd(ls, replay, n_updates=n_up)
     jax.block_until_ready(ls.actor)
-    return (time.perf_counter() - t0) * 1000.0 / iterations
+    dt = time.perf_counter() - t0
+    steps = n_chunks * n_envs * chunk_len
+    # isolate update latency with one more timed burst
+    t1 = time.perf_counter()
+    ls, _ = upd(ls, replay, n_updates=n_up)
+    jax.block_until_ready(ls.actor)
+    upd_ms = (time.perf_counter() - t1) * 1000.0 / updates_per_chunk
+    return steps / dt, upd_ms
 
 
 def main():
@@ -116,25 +157,42 @@ def main():
                     help="small shapes (CPU-friendly)")
     ap.add_argument("--envs", type=int, default=0)
     ap.add_argument("--steps", type=int, default=0)
-    ap.add_argument("--with-update-bench", action="store_true",
-                    help="also time the actor-critic update (extra compile)")
+    ap.add_argument("--skip-train-bench", action="store_true",
+                    help="headline rollout numbers only (fewer compiles)")
     args = ap.parse_args()
 
     n_envs = args.envs or (256 if args.quick else 4096)
     n_steps = args.steps or (100 if args.quick else 250)
 
-    sps = bench_env(n_envs, n_steps)
-    print(f"# env throughput: {sps:,.0f} env-steps/s "
+    sps = bench_env(n_envs, n_steps, with_actor=True)
+    print(f"# rollout throughput (with actor fwd): {sps:,.0f} env-steps/s "
           f"({n_envs} envs x {n_steps} steps)", file=sys.stderr)
-    if args.with_update_bench:
-        ms = bench_update(50 if args.quick else 200)
-        print(f"# avg actor-critic update: {ms:.3f} ms", file=sys.stderr)
+    env_only = bench_env(n_envs, n_steps, with_actor=False)
+    print(f"# env-only throughput (random actions): {env_only:,.0f} "
+          f"env-steps/s", file=sys.stderr)
+
+    extra = {
+        "env_only_steps_per_s": round(env_only),
+        "envs": n_envs,
+        "steps": n_steps,
+    }
+    if not args.skip_train_bench:
+        t_envs = 32 if args.quick else 128
+        t_chunk = 100 if args.quick else 500
+        train_sps, upd_ms = bench_train(t_envs, t_chunk)
+        print(f"# coupled train rate ({t_envs} envs, update_ratio 0.1): "
+              f"{train_sps:,.0f} env-steps/s; avg update "
+              f"{upd_ms:.3f} ms", file=sys.stderr)
+        extra["train_env_steps_per_s"] = round(train_sps)
+        extra["avg_update_ms"] = round(upd_ms, 4)
+        extra["train_envs"] = t_envs
 
     print(json.dumps({
         "metric": "env_steps_per_s",
         "value": round(sps),
         "unit": "steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_S, 4),
+        "extra": extra,
     }))
 
 

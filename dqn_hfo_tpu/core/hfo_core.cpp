@@ -609,35 +609,156 @@ void core_reward(const CoreShaping* in, CoreShaping* out_sh, const float* obs,
   out_sh->first_step = 0;
 }
 
-void core_npc_action(const CoreParams* pp, const CoreState* st,
-                     int32_t player_idx, int32_t policy, int32_t is_goalie,
-                     int32_t* act, float* arg1, float* arg2) {
-  *act = kNoop;
-  *arg1 = 0.0f;
-  *arg2 = 0.0f;
-  if (policy != kNpcChaser) return;  // dummies NOOP forever
+namespace {
 
-  // Mirror of env/npc.py chaser_action (chaser.cxx:41-52 semantics): the
-  // reference chaser's high-level angles are normalized by pi, so its
-  // |ball_ang - orientation| > .1 threshold is 0.1*pi radians here.
-  const CoreParams& p = *pp;
-  const float* pl = st->players + player_idx * kPlayerStride;
-  float relx = st->ball_pos[0] - pl[0], rely = st->ball_pos[1] - pl[1];
-  float dist = std::sqrt(relx * relx + rely * rely);
-  float rel_ang = normalize_angle(std::atan2(rely, relx) - pl[4]);
+constexpr float kRad2Deg = 180.0f / kPi;
+constexpr float kArriveRadius = 0.5f;    // mirror of npc.ARRIVE_RADIUS
+constexpr float kFaceThreshold = 0.1f * kPi;
 
-  bool can_catch = is_goalie && dist <= p.catchable_area_l;
-  bool misaligned = std::fabs(rel_ang) > 0.1f * kPi;
-  if (can_catch) {
-    // CATCH arg1 = catch direction (deg, body-relative): aim at the ball.
-    *act = kCatch;
-    *arg1 = rel_ang * (180.0f / kPi);
-  } else if (misaligned) {
-    *act = kTurn;
-    *arg1 = 90.0f * (rel_ang / kPi);
+// Locomotion primitive shared by the agent2d-flavored policies
+// (mirror of env/npc.py _goto).
+inline void npc_goto(float px, float py, float body, float tx, float ty,
+                     float ball_rel_ang, int32_t* act, float* arg1,
+                     float* arg2) {
+  float ex = tx - px, ey = ty - py;
+  float dist = std::sqrt(ex * ex + ey * ey);
+  float rel = normalize_angle(std::atan2(ey, ex) - body);
+  if (dist <= kArriveRadius) {
+    if (std::fabs(ball_rel_ang) > kFaceThreshold) {
+      *act = kTurn;
+      *arg1 = ball_rel_ang * kRad2Deg;
+    } else {
+      *act = kNoop;
+      *arg1 = 0.0f;
+    }
+    *arg2 = 0.0f;
   } else {
     *act = kDash;
     *arg1 = 100.0f;
+    *arg2 = rel * kRad2Deg;
+  }
+}
+
+}  // namespace
+
+void core_npc_action(const CoreParams* pp, const CoreGameConfig* cfgp,
+                     const CoreState* st, int32_t player_idx, int32_t policy,
+                     int32_t is_goalie, int32_t* act, float* arg1,
+                     float* arg2) {
+  *act = kNoop;
+  *arg1 = 0.0f;
+  *arg2 = 0.0f;
+  if (policy == kNpcDummy) return;  // dummies NOOP forever
+
+  const CoreParams& p = *pp;
+  const CoreGameConfig& cfg = *cfgp;
+  const float* pl = st->players + player_idx * kPlayerStride;
+  float px = pl[0], py = pl[1], body = pl[4];
+  float relx = st->ball_pos[0] - px, rely = st->ball_pos[1] - py;
+  float dist = std::sqrt(relx * relx + rely * rely);
+  float rel_ang = normalize_angle(std::atan2(rely, relx) - body);
+  float goal_x = p.pitch_length * 0.5f, goal_y = 0.0f;
+  // ball position ~3 cycles ahead (mirror of npc._ball_prediction)
+  float horizon = 1.0f + p.ball_decay + p.ball_decay * p.ball_decay;
+  float pred_x = st->ball_pos[0] + st->ball_vel[0] * horizon;
+  float pred_y = st->ball_pos[1] + st->ball_vel[1] * horizon;
+
+  if (policy == kNpcChaser) {
+    // Mirror of env/npc.py chaser_action (chaser.cxx:41-52 semantics): the
+    // reference chaser's high-level angles are normalized by pi, so its
+    // |ball_ang - orientation| > .1 threshold is 0.1*pi radians here.
+    bool can_catch = is_goalie && dist <= p.catchable_area_l;
+    bool misaligned = std::fabs(rel_ang) > 0.1f * kPi;
+    if (can_catch) {
+      // CATCH arg1 = catch direction (deg, body-relative): aim at the ball.
+      *act = kCatch;
+      *arg1 = rel_ang * kRad2Deg;
+    } else if (misaligned) {
+      *act = kTurn;
+      *arg1 = 90.0f * (rel_ang / kPi);
+    } else {
+      *act = kDash;
+      *arg1 = 100.0f;
+    }
+    return;
+  }
+
+  if (policy == kNpcAgent2dDefender) {
+    // Mirror of env/npc.py agent2d_defender_action.
+    float pgx = pred_x - goal_x, pgy = pred_y - goal_y;
+    float pg_dist = std::sqrt(pgx * pgx + pgy * pgy);
+    float inv = 1.0f / std::max(pg_dist, 1e-6f);
+    float home_x, home_y, chase_r;
+    if (is_goalie) {
+      // Shot-stopping: stand on the ball's predicted crossing point at the
+      // goal mouth when it is driven goalward (mirror of npc.py).
+      float bvx = st->ball_vel[0];
+      if (bvx > 0.3f) {
+        float y_cross = st->ball_pos[1] +
+                        st->ball_vel[1] / std::max(bvx, 1e-6f) *
+                            (goal_x - st->ball_pos[0]);
+        y_cross = clampf(y_cross, -p.goal_width * 0.5f, p.goal_width * 0.5f);
+        home_x = goal_x - 1.0f;
+        home_y = y_cross;
+      } else {
+        float r = std::min(pg_dist * 0.3f, 5.0f);
+        home_x = goal_x + pgx * inv * r;
+        home_y = goal_y + pgy * inv * r;
+      }
+      chase_r = 2.5f;
+    } else {
+      home_x = goal_x + pgx * 0.65f;
+      home_y = goal_y + pgy * 0.65f;
+      chase_r = 8.0f;
+    }
+    float tx = dist < chase_r ? pred_x : home_x;
+    float ty = dist < chase_r ? pred_y : home_y;
+    npc_goto(px, py, body, tx, ty, rel_ang, act, arg1, arg2);
+    if (is_goalie && dist <= p.catchable_area_l) {
+      *act = kCatch;
+      *arg1 = rel_ang * kRad2Deg;
+      *arg2 = 0.0f;
+    }
+    return;
+  }
+
+  if (policy == kNpcAgent2dTeammate) {
+    // Mirror of env/npc.py agent2d_teammate_action.
+    bool kickable = dist <= kickable_area(p);
+    if (kickable) {
+      float tgx = goal_x - px, tgy = goal_y - py;
+      float goal_dist = std::sqrt(tgx * tgx + tgy * tgy);
+      float goal_ang = normalize_angle(std::atan2(tgy, tgx) - body);
+      // nearest offense mate
+      float best_d = 1e30f, mate_ang = 0.0f;
+      for (int i = 0; i < cfg.n_offense; ++i) {
+        if (i == player_idx) continue;
+        const float* o = st->players + i * kPlayerStride;
+        float dx = o[0] - px, dy = o[1] - py;
+        float d = std::sqrt(dx * dx + dy * dy);
+        if (d < best_d) {
+          best_d = d;
+          mate_ang = normalize_angle(std::atan2(dy, dx) - body);
+        }
+      }
+      bool shoot = goal_dist < 20.0f;
+      *act = kKick;
+      *arg1 = shoot ? 100.0f : std::min(100.0f, 20.0f + 4.0f * best_d);
+      *arg2 = (shoot ? goal_ang : mate_ang) * kRad2Deg;
+      return;
+    }
+    float bgx = goal_x - st->ball_pos[0], bgy = goal_y - st->ball_pos[1];
+    float bg_dist = std::sqrt(bgx * bgx + bgy * bgy);
+    float inv = 1.0f / std::max(bg_dist, 1e-6f);
+    float ux = bgx * inv, uy = bgy * inv;
+    float perp_x = -uy, perp_y = ux;
+    float side = py >= st->ball_pos[1] ? 1.0f : -1.0f;
+    float sup_x = st->ball_pos[0] + ux * 6.0f + perp_x * 8.0f * side;
+    float sup_y = st->ball_pos[1] + uy * 6.0f + perp_y * 8.0f * side;
+    float tx = dist < 8.0f ? pred_x : sup_x;
+    float ty = dist < 8.0f ? pred_y : sup_y;
+    npc_goto(px, py, body, tx, ty, rel_ang, act, arg1, arg2);
+    return;
   }
 }
 

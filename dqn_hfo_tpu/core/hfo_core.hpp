@@ -104,16 +104,21 @@ void core_reward(const CoreShaping* in, CoreShaping* out_sh, const float* obs,
 void core_initial_shaping(CoreShaping* sh, const float* obs,
                           int32_t toucher_unum, int32_t toucher_side);
 
-// Scripted NPC policies (the reference's NPC binaries,
-// /root/reference/src/hfo_policies/{chaser,dummy_*}.cxx, as callable
-// counterparts of env/npc.py). policy: 0 = dummy (NOOP forever),
-// 1 = chaser (CATCH if the goalie can, TURN toward the ball if misaligned,
-// else DASH 100).
-enum CoreNpcPolicy : int32_t { kNpcDummy = 0, kNpcChaser = 1 };
+// Scripted NPC policies (counterparts of env/npc.py; the reference fills
+// these slots with NPC binaries /root/reference/src/hfo_policies/*.cxx and
+// HFO's agent2d base-team bots).  policy: 0 = dummy (NOOP forever),
+// 1 = chaser (CATCH / TURN / DASH-at-ball), 2 = agent2d-flavored defender
+// (goal-side mark + intercept), 3 = agent2d-flavored offense teammate
+// (support position, receive, shoot/pass).
+enum CoreNpcPolicy : int32_t {
+  kNpcDummy = 0, kNpcChaser = 1, kNpcAgent2dDefender = 2,
+  kNpcAgent2dTeammate = 3
+};
 
-void core_npc_action(const CoreParams* p, const CoreState* state,
-                     int32_t player_idx, int32_t policy, int32_t is_goalie,
-                     int32_t* act, float* arg1, float* arg2);
+void core_npc_action(const CoreParams* p, const CoreGameConfig* cfg,
+                     const CoreState* state, int32_t player_idx,
+                     int32_t policy, int32_t is_goalie, int32_t* act,
+                     float* arg1, float* arg2);
 
 }  // extern "C"
 

@@ -127,10 +127,10 @@ def load_core():
             ctypes.c_int32, ctypes.c_int32,
         ]
         lib.core_npc_action.argtypes = [
-            ctypes.POINTER(CParams), ctypes.POINTER(CState),
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(CParams), ctypes.POINTER(CGameConfig),
+            ctypes.POINTER(CState), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ]
         _lib = lib
     return _lib
@@ -155,9 +155,12 @@ class CoreEnv:
     """Single-instance env backed by the C++ core, API-compatible with
     HFOEnv for parity testing.  State can be injected from a JAX EnvState."""
 
+    NPC_POLICY_IDS = {"dummy": 0, "chaser": 1, "agent2d": 2,
+                      "agent2d_teammate": 3}
+
     def __init__(self, cfg: EnvConfig, sp: ServerParams = DEFAULT_PARAMS,
                  noise_scale: float = 0.0, seed: int = 1,
-                 npc_policy="chaser"):
+                 npc_policy="chaser", offense_policy="dummy"):
         self.lib = load_core()
         self.cfg = cfg
         self.sp = sp
@@ -167,6 +170,9 @@ class CoreEnv:
         if isinstance(npc_policy, str):
             npc_policy = (npc_policy,) * cfg.defense_npcs
         self.npc_policy = tuple(npc_policy)
+        if isinstance(offense_policy, str):
+            offense_policy = (offense_policy,) * cfg.offense_npcs
+        self.offense_policy = tuple(offense_policy)
         self.state = CState()
         self.shapings = [CShaping() for _ in range(cfg.offense_agents)]
         self.rng = ctypes.c_uint64(seed or 1)
@@ -239,19 +245,28 @@ class CoreEnv:
         full_act[:A] = np.asarray(actions, np.int32)
         full_a1[:A] = np.asarray(arg1, np.float32)
         full_a2[:A] = np.asarray(arg2, np.float32)
-        for j in range(self.cfg.defense_npcs):
-            i = self.cfg.n_offense + j
-            chase = 1 if self.npc_policy[j] == "chaser" else 0
-            is_goalie = 1 if (self.cfg.defense_goalie and j == 0) else 0
+
+        def npc(i, policy_id, is_goalie):
             a = ctypes.c_int32()
             p1 = ctypes.c_float()
             p2 = ctypes.c_float()
             self.lib.core_npc_action(
-                ctypes.byref(self.cp), ctypes.byref(self.state), i, chase,
-                is_goalie, ctypes.byref(a), ctypes.byref(p1), ctypes.byref(p2))
+                ctypes.byref(self.cp), ctypes.byref(self.cc),
+                ctypes.byref(self.state), i, policy_id, is_goalie,
+                ctypes.byref(a), ctypes.byref(p1), ctypes.byref(p2))
             full_act[i] = a.value
             full_a1[i] = p1.value
             full_a2[i] = p2.value
+
+        for j in range(self.cfg.offense_npcs):
+            name = self.offense_policy[j]
+            pid = 3 if name == "agent2d" else self.NPC_POLICY_IDS[name]
+            npc(A + j, pid, 0)
+        for j in range(self.cfg.defense_npcs):
+            name = self.npc_policy[j]
+            pid = self.NPC_POLICY_IDS[name]
+            npc(self.cfg.n_offense + j, pid,
+                1 if (self.cfg.defense_goalie and j == 0) else 0)
         self.lib.core_step(
             ctypes.byref(self.cp), ctypes.byref(self.cc),
             ctypes.byref(self.state),

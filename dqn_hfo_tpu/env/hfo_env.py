@@ -34,6 +34,8 @@ F32 = jnp.float32
 class StepInfo(NamedTuple):
     reward: jnp.ndarray        # (A,) shaped reward
     extrinsic: jnp.ndarray     # (A,) EOT-only reward
+    pass_reward: jnp.ndarray   # (A,) pass detection (logged, not in total —
+                               # the hfo_game.cpp:178-180 quirk)
     status: jnp.ndarray        # () i32, status of this step (pre-reset)
     done: jnp.ndarray          # () bool
     steps: jnp.ndarray         # () i32, trial step count at this transition
@@ -43,11 +45,14 @@ class HFOEnv:
     """Single-instance env; `vmap` via VecHFOEnv for batches."""
 
     def __init__(self, cfg: EnvConfig, sp: ServerParams = DEFAULT_PARAMS,
-                 noise_scale: float = 1.0, npc_policy="chaser"):
-        """npc_policy: one policy name for every defender ("chaser"/"dummy")
-        or a per-defender sequence of names, length cfg.defense_npcs —
-        mixed-topology parity with the reference's separate chaser /
-        dummy-goalie / idle-slot processes (dqn_main.cpp:427-436)."""
+                 noise_scale: float = 1.0, npc_policy="chaser",
+                 offense_policy="dummy"):
+        """npc_policy: one policy name for every defender ("agent2d"/
+        "chaser"/"dummy") or a per-defender sequence of names, length
+        cfg.defense_npcs — mixed-topology parity with the reference's
+        separate agent2d / chaser / dummy-goalie processes
+        (dqn_main.cpp:427-436).  offense_policy: same for the offense NPC
+        slots ("agent2d" = moving/passing teammate, "dummy" = NOOP)."""
         self.cfg = cfg
         self.sp = sp
         self.noise_scale = noise_scale
@@ -55,6 +60,10 @@ class HFOEnv:
             npc_policy = (npc_policy,) * cfg.defense_npcs
         self.npc_policy = tuple(npc_policy)
         assert len(self.npc_policy) == cfg.defense_npcs
+        if isinstance(offense_policy, str):
+            offense_policy = (offense_policy,) * cfg.offense_npcs
+        self.offense_policy = tuple(offense_policy)
+        assert len(self.offense_policy) == cfg.offense_npcs
         self.agent_unums = jnp.asarray(
             [cfg.unum(i) for i in range(cfg.offense_agents)], jnp.int32
         )
@@ -153,19 +162,30 @@ class HFOEnv:
         full_a2 = jnp.zeros((P,), F32).at[:A].set(arg2)
         full_a3 = jnp.zeros((P,), F32).at[:A].set(arg3)
 
-        # Offense NPCs: NOOP dummies. Defense NPCs: chaser or dummies.
+        # Offense NPCs: agent2d-style teammates or NOOP dummies.
         for i in range(A, cfg.n_offense):
-            full_act = full_act.at[i].set(C.NOOP)
-        for j in range(cfg.defense_npcs):
-            i = cfg.n_offense + j
-            if self.npc_policy[j] == "chaser":
-                is_goalie = cfg.defense_goalie and j == 0
-                a, p1, p2 = npc.chaser_action(sp, state, i, is_goalie)
+            if self.offense_policy[i - A] == "agent2d":
+                a, p1, p2 = npc.agent2d_teammate_action(sp, cfg, state, i)
                 full_act = full_act.at[i].set(a)
                 full_a1 = full_a1.at[i].set(p1)
                 full_a2 = full_a2.at[i].set(p2)
             else:
                 full_act = full_act.at[i].set(C.NOOP)
+        # Defense NPCs: agent2d defenders, chasers, or dummies.
+        for j in range(cfg.defense_npcs):
+            i = cfg.n_offense + j
+            is_goalie = cfg.defense_goalie and j == 0
+            if self.npc_policy[j] == "agent2d":
+                a, p1, p2 = npc.agent2d_defender_action(sp, state, i,
+                                                        is_goalie)
+            elif self.npc_policy[j] == "chaser":
+                a, p1, p2 = npc.chaser_action(sp, state, i, is_goalie)
+            else:
+                full_act = full_act.at[i].set(C.NOOP)
+                continue
+            full_act = full_act.at[i].set(a)
+            full_a1 = full_a1.at[i].set(p1)
+            full_a2 = full_a2.at[i].set(p2)
 
         # Expand mid-level macros (no-op for low-level ids).
         from dqn_hfo_tpu.env.midlevel import expand_midlevel
@@ -198,6 +218,7 @@ class HFOEnv:
         info = StepInfo(
             reward=rout.total,
             extrinsic=rout.extrinsic,
+            pass_reward=rout.pass_reward,
             status=new_state.status,
             done=new_state.status != C.IN_GAME,
             steps=new_state.t,
@@ -268,6 +289,15 @@ class VecHFOEnv:
         return out_states, out_obs, info
 
     # ------------------------------------------------------- banked auto-reset
+    def bank_rounds(self, chunk_len: int) -> int:
+        """Reset-bank depth for a chunk of `chunk_len` steps: sized so an
+        env can finish trials 8x faster than the frames_per_trial cap before
+        any within-chunk bank-entry reuse (reuse = a repeated start state,
+        not an invalid one). Clamped to [2, 32]."""
+        import math
+        fpt = max(int(self.env.sp.frames_per_trial), 1)
+        return max(2, min(32, math.ceil(8.0 * chunk_len / fpt)))
+
     def make_reset_bank(self, key, rounds: int):
         """Precompute `rounds` fresh reset states per env: (R, B, ...) states
         + (R, B, A, F) obs.  step_banked consumes one per done event, making
@@ -330,6 +360,7 @@ class VecHFOEnv:
         info = StepInfo(
             reward=jnp.where(prev_done[:, None], 0.0, info.reward),
             extrinsic=jnp.where(prev_done[:, None], 0.0, info.extrinsic),
+            pass_reward=jnp.where(prev_done[:, None], 0.0, info.pass_reward),
             status=jnp.where(prev_done, states.status, info.status),
             done=jnp.where(prev_done, True, info.done),
             steps=jnp.where(prev_done, states.t, info.steps),

@@ -101,18 +101,19 @@ def rollout_chunk(cs: CollectorState, replay: rp.ReplayState, actor_params,
             jnp.sum(done_ret),                                    # returns
             jnp.sum(jnp.where(terminal, info.steps, 0)),          # steps
             jnp.sum((terminal & (info.status == C.GOAL)).astype(jnp.int32)),
+            jnp.sum((info.pass_reward[:, 0] > 0.5).astype(jnp.int32)),
         )
         return (env_states, counters, obs2, replay, ep_ret, key), stats
 
-    # Fresh trials come from a per-chunk reset bank (see step_banked); 8
-    # rounds covers chunks up to 8 trials deep per env before entry reuse.
+    # Fresh trials come from a per-chunk reset bank (see step_banked); depth
+    # derived from chunk_len / frames_per_trial (VecHFOEnv.bank_rounds).
     key0, k_bank = jax.random.split(cs.rng[0])
-    bank = venv.make_reset_bank(k_bank, rounds=8)
+    bank = venv.make_reset_bank(k_bank, rounds=venv.bank_rounds(chunk_len))
     counters = jnp.zeros((cs.obs.shape[0],), jnp.int32)
     carry = (cs.env_states, counters, cs.obs, replay, cs.ep_return, key0)
     carry, ys = jax.lax.scan(step_fn, carry, None, length=chunk_len)
     env_states, counters, obs, replay, ep_ret, key = carry
-    (rews, dones, ids, n_eps, sum_ret, sum_steps, n_goals) = ys
+    (rews, dones, ids, n_eps, sum_ret, sum_steps, n_goals, n_passes) = ys
 
     # Label pass over [prev chunk | this chunk].
     w_r = jnp.concatenate([cs.window.rewards, rews], axis=0)
@@ -134,6 +135,7 @@ def rollout_chunk(cs: CollectorState, replay: rp.ReplayState, actor_params,
         "sum_episode_return": jnp.sum(sum_ret),
         "sum_episode_steps": jnp.sum(sum_steps),
         "goals": jnp.sum(n_goals),
+        "passes": jnp.sum(n_passes),
         "env_steps": jnp.asarray(chunk_len * cs.obs.shape[0], jnp.int32),
     }
     return new_cs, replay, metrics

@@ -272,7 +272,11 @@ def update_once(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
     avg_q = jnp.mean(q)
     if axis_name is not None:
         avg_q = jax.lax.pmean(avg_q, axis_name)
-    return new_ls, (closs, avg_q)
+    # Finite guard: the reference CHECKs every target and the loss finite
+    # (dqn.cpp:893-906); inside jit this surfaces as a flag the host loop
+    # turns into a run-aborting error.
+    finite = jnp.all(jnp.isfinite(target)) & jnp.isfinite(closs)
+    return new_ls, (closs, avg_q, finite)
 
 
 def update_n(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
@@ -306,12 +310,13 @@ def update_n(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
             return update_once(s, replay, cfg, axis_name, idx=idx)
 
         def skip(s):
-            return s, (jnp.asarray(0.0, F32), jnp.asarray(0.0, F32))
+            return s, (jnp.asarray(0.0, F32), jnp.asarray(0.0, F32),
+                       jnp.asarray(True))
 
         state, metrics = jax.lax.cond(do, run, skip, state)
         return state, metrics + (do,)
 
-    ls, (losses, qs, dids) = jax.lax.scan(
+    ls, (losses, qs, finites, dids) = jax.lax.scan(
         body, ls, (jnp.arange(max_updates, dtype=jnp.int32), all_idx)
     )
     n_done = jnp.sum(dids.astype(jnp.int32))
@@ -320,4 +325,5 @@ def update_n(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
         "critic_loss": jnp.sum(losses) / denom,
         "avg_q": jnp.sum(qs) / denom,
         "updates": n_done,
+        "finite": jnp.all(finites),
     }

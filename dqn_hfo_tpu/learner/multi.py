@@ -175,20 +175,21 @@ def multi_rollout_chunk(cs: CollectorState, replay: rp.ReplayState,
         stats = (
             flat(reward), jnp.tile(done, A), sid,
             jnp.sum(done.astype(jnp.int32)),
-            jnp.sum(done_ret[:, 0]),
+            jnp.sum(done_ret, axis=0),                      # (A,) per agent
             jnp.sum(jnp.where(done, info.steps, 0)),
             jnp.sum((done & (info.status == C.GOAL)).astype(jnp.int32)),
+            jnp.sum((info.pass_reward > 0.5).astype(jnp.int32), axis=0),
         )
         return (env_states, counters, obs2, replay, ep_ret, key), stats
 
-    # per-chunk reset bank (see VecHFOEnv.step_banked)
+    # per-chunk reset bank, depth derived from chunk_len/frames_per_trial
     key0, k_bank = jax.random.split(cs.rng[0])
-    bank = venv.make_reset_bank(k_bank, rounds=8)
+    bank = venv.make_reset_bank(k_bank, rounds=venv.bank_rounds(chunk_len))
     counters = jnp.zeros((cs.obs.shape[0],), jnp.int32)
     carry = (cs.env_states, counters, cs.obs, replay, cs.ep_return, key0)
     carry, ys = jax.lax.scan(step_fn, carry, None, length=chunk_len)
     env_states, counters, obs, replay, ep_ret, key = carry
-    rews, dones, ids, n_eps, sum_ret, sum_steps, n_goals = ys
+    rews, dones, ids, n_eps, sum_ret, sum_steps, n_goals, n_passes = ys
 
     w_r = jnp.concatenate([cs.window.rewards, rews], axis=0)
     w_d = jnp.concatenate([cs.window.dones, dones], axis=0)
@@ -204,9 +205,10 @@ def multi_rollout_chunk(cs: CollectorState, replay: rp.ReplayState,
     )
     metrics = {
         "episodes": jnp.sum(n_eps),
-        "sum_episode_return": jnp.sum(sum_ret),
+        "sum_episode_return": jnp.sum(sum_ret, axis=0),   # (A,) per agent
         "sum_episode_steps": jnp.sum(sum_steps),
         "goals": jnp.sum(n_goals),
+        "passes": jnp.sum(n_passes, axis=0),              # (A,) per agent
         "env_steps": jnp.asarray(chunk_len * cs.obs.shape[0], jnp.int32),
     }
     return new_cs, replay, metrics
@@ -248,8 +250,8 @@ def multi_update_once(mls: LearnerState, replay: rp.ReplayState,
             view = _agent_replay_view(replay, a, A, mcfg.share_replay)
             return update_once(ls_a, view, dcfg, axis_name)
 
-        stacked, (closs, avg_q) = jax.vmap(one)(mls, jnp.arange(A))
-        return stacked, (jnp.mean(closs), jnp.mean(avg_q))
+        stacked, (closs, avg_q, finite) = jax.vmap(one)(mls, jnp.arange(A))
+        return stacked, (jnp.mean(closs), jnp.mean(avg_q), jnp.all(finite))
 
     per_agent = [jax.tree_util.tree_map(lambda x: x[a], mls)
                  for a in range(A)]
@@ -293,7 +295,8 @@ def multi_update_once(mls: LearnerState, replay: rp.ReplayState,
         lambda *xs: jnp.stack(xs), *per_agent)
     closs = jnp.mean(jnp.stack([m[0] for m in metrics]))
     avg_q = jnp.mean(jnp.stack([m[1] for m in metrics]))
-    return stacked, (closs, avg_q)
+    finite = jnp.all(jnp.stack([m[2] for m in metrics]))
+    return stacked, (closs, avg_q, finite)
 
 
 def multi_update_n(mls, replay, dcfg: DDPGConfig, mcfg: MultiConfig,
@@ -312,12 +315,13 @@ def multi_update_n(mls, replay, dcfg: DDPGConfig, mcfg: MultiConfig,
             return multi_update_once(s, replay, dcfg, mcfg, axis_name)
 
         def skip(s):
-            return s, (jnp.asarray(0.0, F32), jnp.asarray(0.0, F32))
+            return s, (jnp.asarray(0.0, F32), jnp.asarray(0.0, F32),
+                       jnp.asarray(True))
 
         state, m = jax.lax.cond(do, run, skip, state)
         return state, m + (do,)
 
-    mls, (losses, qs, dids) = jax.lax.scan(
+    mls, (losses, qs, finites, dids) = jax.lax.scan(
         body, mls, jnp.arange(max_updates, dtype=jnp.int32))
     n_done = jnp.sum(dids.astype(jnp.int32))
     denom = jnp.maximum(n_done, 1)
@@ -325,4 +329,5 @@ def multi_update_n(mls, replay, dcfg: DDPGConfig, mcfg: MultiConfig,
         "critic_loss": jnp.sum(losses) / denom,
         "avg_q": jnp.sum(qs) / denom,
         "updates": n_done,
+        "finite": jnp.all(finites),
     }

@@ -50,11 +50,11 @@ def _eval_scan(actor_params, key, venv: VecHFOEnv, n_steps: int,
         actor_out = select(obs, k)
         action, a1, a2, a3 = decode_action(actor_out, space)
         states, obs, info = venv.step_absorb(states, action, a1, a2, a3)
-        ep_reward = ep_reward + info.reward[:, 0]
+        ep_reward = ep_reward + info.reward        # (E, A) per-agent
         return (states, obs, key, ep_reward), None
 
     E = obs.shape[0]
-    init = (states, obs, k_act, jnp.zeros((E,), jnp.float32))
+    init = (states, obs, k_act, jnp.zeros((E, n_agents), jnp.float32))
     (states, obs, _, ep_reward), _ = jax.lax.scan(
         step_fn, init, None, length=n_steps
     )
@@ -81,20 +81,30 @@ class Evaluator:
         ))
 
     def __call__(self, actor_params, key) -> Dict[str, float]:
+        """Returns the reference evaluation metrics; episode reward is
+        per-agent (the reference logs one Evaluation line per agent thread,
+        dqn_main.cpp:194-204) — agent 0's numbers fill the top-level keys
+        and `per_agent` carries every agent's reward stats."""
         rewards, steps, statuses = self._fn(actor_params, key)
-        rewards = np.asarray(rewards)
+        rewards = np.asarray(rewards)             # (E, A)
         steps = np.asarray(steps)
         statuses = np.asarray(statuses)
         goals = statuses == C.GOAL
-        avg_r, std_r = _avg_std(rewards)
         avg_s, std_s = _avg_std(steps.astype(np.float64))
         avg_gs, std_gs = _avg_std(steps[goals].astype(np.float64))
-        return {
-            "avg_reward": avg_r,
-            "reward_std": std_r,
+        per_agent = []
+        for a in range(rewards.shape[1]):
+            avg_r, std_r = _avg_std(rewards[:, a])
+            per_agent.append({"avg_reward": avg_r, "reward_std": std_r})
+        m = {
+            "avg_reward": per_agent[0]["avg_reward"],
+            "reward_std": per_agent[0]["reward_std"],
             "avg_steps": avg_s,
             "steps_std": std_s,
             "success_steps": avg_gs,
             "success_std": std_gs,
             "goal_perc": float(np.mean(goals)),
         }
+        if len(per_agent) > 1:
+            m["per_agent"] = per_agent
+        return m

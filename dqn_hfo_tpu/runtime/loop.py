@@ -259,10 +259,22 @@ class Trainer:
         self.log.info(f"Snapshotting Finished! ({paths[0]})")
 
     # ----------------------------------------------------------------- modes
+    def _check_finite(self, um):
+        """Run-aborting finite guard — the reference CHECKs every target and
+        loss finite (dqn.cpp:893-906); a diverged run crashes fast instead of
+        burning the remaining max_iter."""
+        if not bool(um["finite"]):
+            self.log.info("FATAL: non-finite target or critic loss "
+                          "detected; aborting (dqn.cpp:893-906 CHECK).")
+            raise FloatingPointError(
+                "Non-finite target/loss in learner update")
+
     def train(self):
         cfg = self.cfg
         last_eval_iter = self._iter()
         last_snapshot_iter = self._iter()
+        last_loss_iter = self._iter()
+        loss_sum, q_sum, loss_n = 0.0, 0.0, 0
         chunk_idx = 0
         while self._iter() < cfg.max_iter:
             chunk_idx += 1
@@ -285,24 +297,48 @@ class Trainer:
                 jax.profiler.stop_trace()
                 self.log.info(f"Profiler trace written to {cfg.profile_dir}")
 
+            self._check_finite(um)
             n_eps = int(m["episodes"])
             if n_eps > 0:
-                avg_ret = float(m["sum_episode_return"]) / n_eps
+                # per-agent episode reward lines (the reference logs one per
+                # agent thread, dqn_main.cpp:355-356)
+                rets = np.atleast_1d(np.asarray(m["sum_episode_return"]))
                 self.episode_count += n_eps
-                self.log.episode(self.episode_count, avg_ret)
+                for a in range(rets.shape[0]):
+                    self.log.episode(
+                        self.episode_count, float(rets[a]) / n_eps,
+                        agent=a if rets.shape[0] > 1 else None)
             it = self._iter()
-            self.log.critic_loss(it, float(um["critic_loss"]))
-            self.log.actor_q(it, float(um["avg_q"]))
+            # Smoothed critic-loss / avg-Q every loss_display_iter learner
+            # iterations (dqn.cpp:806-817): accumulate update-weighted sums
+            # and emit when the counter crosses the display boundary.
+            n_up = int(um["updates"])
+            if n_up > 0:
+                loss_sum += float(um["critic_loss"]) * n_up
+                q_sum += float(um["avg_q"]) * n_up
+                loss_n += n_up
+            if it >= last_loss_iter + cfg.loss_display_iter and loss_n > 0:
+                self.log.critic_loss(it, loss_sum / loss_n)
+                self.log.actor_q(it, q_sum / loss_n)
+                loss_sum, q_sum, loss_n = 0.0, 0.0, 0
+                last_loss_iter = it
             # dt is taken only after the metric fetches above have blocked on
             # the chunk's device results — timing dispatch alone would credit
             # the chunk with async-queue latency, not real work.
             dt = time.time() - t0
-            self.log.throughput(int(m["env_steps"]), int(um["updates"]), dt)
+            self.log.throughput(int(m["env_steps"]), n_up, dt,
+                                passes=int(np.sum(np.asarray(m["passes"]))))
 
             if it >= last_eval_iter + cfg.evaluate_freq:
                 self._eval_key, k = jax.random.split(self._eval_key)
                 em = self.evaluator(self.learner.actor, k)
                 self.log.evaluation(it, em)
+                # additional Evaluation line per extra agent (reference logs
+                # one per thread; reward stats are the per-agent ones)
+                for a, pa in enumerate(em.get("per_agent", [])[1:], start=1):
+                    em_a = {k: v for k, v in em.items() if k != "per_agent"}
+                    em_a.update(pa)
+                    self.log.evaluation(it, em_a, agent=a)
                 if cfg.record_dir:
                     self._record(it)
                 score = em["goal_perc"]
@@ -326,13 +362,17 @@ class Trainer:
         from dqn_hfo_tpu.runtime.record import record_episode, render_gif
         os.makedirs(self.cfg.record_dir, exist_ok=True)
         actor = self.learner.actor
+        critic = self.learner.critic
         if self.n_agents > 1:
             actor = jax.tree_util.tree_map(lambda x: x[0], actor)
+            critic = jax.tree_util.tree_map(lambda x: x[0], critic)
         self._eval_key, k = jax.random.split(self._eval_key)
         base = os.path.join(self.cfg.record_dir, f"episode_iter{it}")
         traj = record_episode(self.env, actor, k,
                               epsilon=self.cfg.evaluate_with_epsilon,
-                              space=self.space, save_path=base + ".npz")
+                              space=self.space, save_path=base + ".npz",
+                              critic_params=critic,
+                              logger=self.log if self.cfg.verbose else None)
         render_gif(traj, self.env.sp, base + ".gif",
                    n_offense=self.env.cfg.n_offense)
         self.log.info(f"Recorded episode to {base}.gif")
@@ -372,6 +412,7 @@ class Trainer:
             self.learner, um = self._update(
                 self.learner, self.replay,
                 n_updates=jnp.asarray(self.updates_per_chunk, jnp.int32))
+            self._check_finite(um)
             if int(um["updates"]) == 0:
                 self.log.info("Replay below memory_threshold; stopping.")
                 break

@@ -24,26 +24,50 @@ from dqn_hfo_tpu.env.hfo_env import HFOEnv
 from dqn_hfo_tpu.learner.agent import decode_action, select_actions
 
 
+ACTION_NAMES = {C.DASH: "Dash", C.TURN: "Turn", C.TACKLE: "Tackle",
+                C.KICK: "Kick", C.CATCH: "Catch", C.NOOP: "NoOp"}
+
+
 def record_episode(env: HFOEnv, actor_params, key, epsilon: float = 0.0,
                    space=sp_mod.LOW_LEVEL, max_steps: Optional[int] = None,
-                   save_path: str = ""):
+                   save_path: str = "", critic_params=None, logger=None):
     """Roll one episode greedily and capture the trajectory.
 
     Returns a dict of numpy arrays: ball (T,2), players (T,P,2),
-    body (T,P), reward (T,A), status (T,), obs (T,A,F).
+    body (T,P), reward (T,A), status (T,), obs (T,A,F) — plus, when
+    `critic_params` is given, q (T,A) and action (T,A): the per-step
+    EvaluateAction Q trace the reference emits under VLOG(1)
+    (dqn_main.cpp:124-128).  With `logger` set (--verbose), each step's
+    action/Q is also emitted as a q_trace log line.
     """
     max_steps = max_steps or env.sp.frames_per_trial + 1
     k_reset, k_act = jax.random.split(key)
     state, obs = env.reset(k_reset)
     step = jax.jit(env.step)
 
+    q_fn = None
+    if critic_params is not None:
+        from dqn_hfo_tpu.models.nets import critic_apply
+        q_fn = jax.jit(lambda o, a: critic_apply(critic_params, o, a))
+
     traj = {k: [] for k in ("ball", "players", "body", "reward", "status",
                             "obs")}
+    if q_fn is not None:
+        traj["q"] = []
+        traj["action"] = []
     key = k_act
-    for _ in range(max_steps):
+    for t in range(max_steps):
         key, k = jax.random.split(key)
         out = select_actions(actor_params, obs, k, epsilon, None, space)
         act, a1, a2, a3 = decode_action(out, space)
+        if q_fn is not None:
+            q = np.asarray(q_fn(obs, out))
+            traj["q"].append(q)
+            traj["action"].append(np.asarray(act))
+            if logger is not None:
+                logger.q_trace(t, ACTION_NAMES.get(int(act[0]),
+                                                   str(int(act[0]))),
+                               float(q[0]))
         state, obs, info = step(state, act, a1, a2, a3)
         traj["ball"].append(np.asarray(state.ball_pos))
         traj["players"].append(np.asarray(state.p_pos))

@@ -63,7 +63,7 @@ def _one_update(cfg):
                                 jnp.ones(8, bool))
         rs = rp.label_rows(rs, jnp.asarray([sid], jnp.int32),
                            jnp.zeros((1, 8)), jnp.ones((1, 8), bool))
-    new_ls, (closs, avg_q) = jax.jit(
+    new_ls, (closs, avg_q, _) = jax.jit(
         lambda l, r: update_once(l, r, cfg))(ls, rs)
     return ls, new_ls, float(closs)
 

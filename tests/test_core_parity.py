@@ -22,13 +22,16 @@ from dqn_hfo_tpu.env.state import EnvConfig
 ATOL = 2e-4  # accumulated float32 reassociation tolerance over many steps
 
 
-def run_pair(cfg, n_steps, policy, seed=0, npc_policy="chaser"):
+def run_pair(cfg, n_steps, policy, seed=0, npc_policy="chaser",
+             offense_policy="dummy"):
     """Run JAX env and C++ core in lockstep from the same initial state."""
-    env = HFOEnv(cfg, DEFAULT_PARAMS, noise_scale=0.0, npc_policy=npc_policy)
+    env = HFOEnv(cfg, DEFAULT_PARAMS, noise_scale=0.0, npc_policy=npc_policy,
+                 offense_policy=offense_policy)
     jstep = jax.jit(env.step)
     s, obs = env.reset(jax.random.PRNGKey(seed))
 
-    core = CoreEnv(cfg, DEFAULT_PARAMS, noise_scale=0.0, npc_policy=npc_policy)
+    core = CoreEnv(cfg, DEFAULT_PARAMS, noise_scale=0.0, npc_policy=npc_policy,
+                   offense_policy=offense_policy)
     core.set_state_from_env(s)
     core.init_shaping()
     core_obs = np.stack([core.observe(a) for a in range(cfg.offense_agents)])
@@ -130,4 +133,36 @@ class TestTrajectoryParity:
         cfg = EnvConfig(offense_agents=1, defense_npcs=2, defense_goalie=True)
         steps, status = run_pair(cfg, 300, scripted_policy, seed=4,
                                  npc_policy=("chaser", "dummy"))
+        assert steps > 5
+
+    def test_agent2d_defender_parity(self):
+        """Agent2d-flavored goalie + field defender: the JAX in-env branches
+        and the C++ core counterparts must track step-for-step (the role
+        HFO's agent2d bots fill behind --defense-npcs)."""
+        cfg = EnvConfig(offense_agents=1, defense_npcs=2, defense_goalie=True)
+        steps, status = run_pair(cfg, 520, scripted_policy, seed=6,
+                                 npc_policy="agent2d")
+        assert steps > 5
+        assert status != C.IN_GAME
+
+    def test_agent2d_teammate_parity(self):
+        """2v1: learning agent + agent2d-flavored offense teammate vs a
+        chaser keeper (the reference's 2v1 passing topology,
+        train.sh:116-150)."""
+        cfg = EnvConfig(offense_agents=1, offense_npcs=1, defense_npcs=1,
+                        defense_goalie=True)
+        steps, status = run_pair(cfg, 400, random_policy, seed=7,
+                                 npc_policy="chaser",
+                                 offense_policy="agent2d")
+        assert steps > 5
+
+    def test_agent2d_teammate_shoots_parity(self):
+        """Teammate receives and plays the ball: run with the scripted
+        striker so the ball reaches the teammate's zone and its kick branch
+        executes in both engines."""
+        cfg = EnvConfig(offense_agents=1, offense_npcs=1, defense_npcs=1,
+                        defense_goalie=True, offense_on_ball=1)
+        steps, status = run_pair(cfg, 400, scripted_policy, seed=8,
+                                 npc_policy="agent2d",
+                                 offense_policy="agent2d")
         assert steps > 5

@@ -87,7 +87,7 @@ class TestDDPGUpdate:
         upd = jax.jit(functools.partial(update_once, cfg=cfg))
         losses = []
         for i in range(300):
-            ls, (loss, q) = upd(ls, rs)
+            ls, (loss, q, _) = upd(ls, rs)
             losses.append(float(loss))
         assert np.mean(losses[-50:]) < 0.25 * np.mean(losses[:50])
 
@@ -100,7 +100,7 @@ class TestDDPGUpdate:
         upd = jax.jit(functools.partial(update_once, cfg=cfg))
         qs = []
         for i in range(300):
-            ls, (loss, q) = upd(ls, rs)
+            ls, (loss, q, _) = upd(ls, rs)
             qs.append(float(q))
         assert np.mean(qs[-50:]) > np.mean(qs[:50])
 

@@ -157,6 +157,7 @@ class TestTrainerLoop:
             save=prefix, envs=4, frames_per_trial=40, untouched_time=25,
             chunk_len=40, evaluate_freq=32, repeat_games=4, memory=2000,
             memory_threshold=50, explore=64, seed=3, snapshot_freq=32,
+            loss_display_iter=16,
         )
         cfg = RunConfig(max_iter=40, **base)
         Trainer(cfg).train()
@@ -173,6 +174,23 @@ class TestTrainerLoop:
         assert int(t2.learner.iteration) > 0
         t2.train()
         assert int(t2.learner.iteration) >= 60
+
+    def test_nan_injection_aborts_run(self, tmp_path):
+        """The finite guard must crash the run fast (the reference CHECKs
+        every target and loss finite, dqn.cpp:893-906) instead of burning
+        max_iter on a diverged learner."""
+        cfg = RunConfig(
+            save=str(tmp_path / "n"), max_iter=200, envs=4,
+            frames_per_trial=40, untouched_time=25, chunk_len=40,
+            evaluate_freq=10**9, memory=2000, memory_threshold=50,
+            explore=64, seed=3, snapshot_freq=10**9,
+        )
+        t = Trainer(cfg)
+        poisoned = jax.tree_util.tree_map(
+            lambda x: jnp.full_like(x, jnp.nan), t.learner.critic)
+        t.learner = t.learner._replace(critic=poisoned)
+        with pytest.raises(FloatingPointError):
+            t.train()
 
     def test_benchmark_mode(self, tmp_path):
         cfg = RunConfig(
