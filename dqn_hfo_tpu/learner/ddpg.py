@@ -73,7 +73,6 @@ class DDPGConfig:
     memory_threshold: int = 1000
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for MXU throughput
     action_space: str = "low_level"  # spaces.SPACES key
-    fused_target: bool = False  # Pallas fused target-Q kernel (TPU)
     # Hidden-layer widths — the reference's net architecture is overridable
     # via an on-disk .prototxt reloaded by the driver (dqn_main.cpp:231-246);
     # here the same surface is these tuples (CLI: --actor_tower/--critic_tower).
@@ -173,15 +172,14 @@ def init_learner(key, cfg: DDPGConfig) -> LearnerState:
 
 def compute_targets(ls: LearnerState, cfg: DDPGConfig, reward, on_policy,
                     next_obs, terminal):
-    """Mixed on/off-policy targets (dqn.cpp:889-899)."""
-    if cfg.fused_target:
-        # single Pallas kernel: both target towers, weights VMEM-resident
-        from dqn_hfo_tpu.ops.fused_target import fused_target_q
-        q_next = fused_target_q(ls.actor_target, ls.critic_target, next_obs)
-    else:
-        a_next = actor_apply(ls.actor_target, next_obs, cfg.compute_dtype)
-        q_next = critic_apply(ls.critic_target, next_obs, a_next,
-                              cfg.compute_dtype)
+    """Mixed on/off-policy targets (dqn.cpp:889-899).
+
+    XLA fuses the whole two-tower target forward on its own; a hand-written
+    Pallas fused kernel was benchmarked at ~1.03x (noise) on the batch-32
+    update path and removed — see RESULTS.md."""
+    a_next = actor_apply(ls.actor_target, next_obs, cfg.compute_dtype)
+    q_next = critic_apply(ls.critic_target, next_obs, a_next,
+                          cfg.compute_dtype)
     off_policy = jnp.where(terminal, reward, reward + cfg.gamma * q_next)
     return cfg.beta * on_policy + (1.0 - cfg.beta) * off_policy
 

@@ -108,7 +108,6 @@ class RunConfig:
     chunk_len: int = 0            # 0 -> frames_per_trial (window invariant)
     bf16: bool = False            # bfloat16 compute in the nets
     mesh_devices: int = 0         # 0 -> all local devices (data axis)
-    fused_target: bool = False    # Pallas fused target-Q kernel (TPU only)
     profile_dir: str = ""         # capture a jax.profiler trace of one chunk
     record_dir: str = ""          # save + render an episode at each eval
     verbose: bool = False
@@ -142,7 +141,6 @@ class RunConfig:
 _BOOL_FIELDS = {
     "benchmark", "learn_offline", "evaluate", "remove_old_snapshots",
     "snapshot_memory", "share_replay_memory", "bf16", "verbose",
-    "fused_target",
 }
 
 

@@ -26,7 +26,6 @@ from dqn_hfo_tpu.constants import DEFAULT_PARAMS, ServerParams
 from dqn_hfo_tpu.env.hfo_env import HFOEnv, VecHFOEnv
 from dqn_hfo_tpu.env.state import EnvConfig
 from dqn_hfo_tpu.learner import replay as rp
-from dqn_hfo_tpu.learner.agent import calculate_epsilon
 from dqn_hfo_tpu.learner.collector import init_collector, rollout_chunk
 from dqn_hfo_tpu.learner.ddpg import DDPGConfig, init_learner, update_n
 from dqn_hfo_tpu.runtime import checkpoint as ckpt
@@ -105,7 +104,6 @@ class Trainer:
             max_iter=cfg.max_iter,
             memory_threshold=cfg.memory_threshold,
             compute_dtype=self.compute_dtype,
-            fused_target=cfg.fused_target,
             actor_tower=cfg.tower("actor"),
             critic_tower=cfg.tower("critic"),
         )
@@ -121,15 +119,18 @@ class Trainer:
                 cfg.memory, cfg.envs, self.state_size,
                 action_size=self.space.output_size)
             self.collector = init_collector(self.venv, k_coll, cfg.chunk_len)
-            self._roll = jax.jit(functools.partial(
+            _roll_raw = functools.partial(
                 rollout_chunk, venv=self.venv, chunk_len=cfg.chunk_len,
                 gamma=cfg.gamma, compute_dtype=self.compute_dtype,
                 space=self.space,
-            ), donate_argnums=(0, 1))
-            self._update = jax.jit(functools.partial(
+            )
+            _upd_raw = functools.partial(
                 update_n, cfg=self.dcfg,
                 max_updates=max(self.updates_per_chunk, 1),
-            ), donate_argnums=(0,))
+            )
+            self._roll = jax.jit(_roll_raw, donate_argnums=(0, 1))
+            self._update = jax.jit(_upd_raw, donate_argnums=(0,))
+            _upd_fn = lambda ls, rs, n: _upd_raw(ls, rs, n_updates=n)
         else:
             # Multi-agent: stacked learners, agent-major replay columns,
             # optional layer sharing / shared replay (reference P1-P3).
@@ -148,17 +149,31 @@ class Trainer:
                 action_size=self.space.output_size)
             self.collector = init_multi_collector(
                 self.venv, k_coll, cfg.chunk_len, self.n_agents)
-            _mroll = functools.partial(
+            _roll_raw = functools.partial(
                 multi_rollout_chunk, venv=self.venv, chunk_len=cfg.chunk_len,
                 gamma=cfg.gamma, n_agents=self.n_agents,
                 compute_dtype=self.compute_dtype, space=self.space)
-            self._roll = jax.jit(
-                lambda cs, rs, actors, eps: _mroll(cs, rs, actors, eps),
-                donate_argnums=(0, 1))
-            self._update = jax.jit(functools.partial(
+            _mupd_raw = functools.partial(
                 multi_update_n, dcfg=self.dcfg, mcfg=self.mcfg,
                 max_updates=max(self.updates_per_chunk, 1),
-            ), donate_argnums=(0,))
+            )
+            self._roll = jax.jit(
+                lambda cs, rs, actors, eps: _roll_raw(cs, rs, actors, eps),
+                donate_argnums=(0, 1))
+            self._update = jax.jit(_mupd_raw, donate_argnums=(0,))
+            _upd_fn = lambda ls, rs, n: _mupd_raw(ls, rs, n_updates=n)
+
+        # Fused multi-chunk train step (see runtime/superstep.py): one jitted
+        # program per eval/snapshot interval instead of one host round trip
+        # per chunk — the dominant cost over the TPU tunnel.
+        from dqn_hfo_tpu.runtime.superstep import build_superstep
+        self.max_chunks = max(1, min(64, math.ceil(
+            min(cfg.evaluate_freq, cfg.snapshot_freq, cfg.max_iter)
+            / max(self.updates_per_chunk, 1))))
+        self._superstep = jax.jit(
+            build_superstep(_roll_raw, _upd_fn, self.updates_per_chunk,
+                            cfg.explore, cfg.epsilon, self.max_chunks),
+            donate_argnums=(0, 1, 2))
 
         eval_env = VecHFOEnv(self.env, cfg.repeat_games)
         self.evaluator = Evaluator(eval_env, cfg.frames_per_trial,
@@ -269,65 +284,78 @@ class Trainer:
             raise FloatingPointError(
                 "Non-finite target/loss in learner update")
 
-    def train(self):
+    def _consume_rows(self, rows: dict, dt: float):
+        """Replay one superstep's per-chunk metric rows: finite guard, then
+        episode / smoothed-loss lines at the same cadence the per-chunk loop
+        emitted them, and one throughput line for the whole superstep."""
         cfg = self.cfg
-        last_eval_iter = self._iter()
-        last_snapshot_iter = self._iter()
-        last_loss_iter = self._iter()
-        loss_sum, q_sum, loss_n = 0.0, 0.0, 0
-        chunk_idx = 0
-        while self._iter() < cfg.max_iter:
-            chunk_idx += 1
-            # One-shot profiler capture of a steady-state chunk (SURVEY §5:
-            # jax.profiler replaces the reference's caffe::Timer tracing).
-            profiling = bool(cfg.profile_dir) and chunk_idx == 3
-            if profiling:
-                jax.profiler.start_trace(cfg.profile_dir)
-            t0 = time.time()
-            eps = calculate_epsilon(jnp.asarray(self._iter()), cfg.explore,
-                                    cfg.epsilon)
-            self.collector, self.replay, m = self._roll(
-                self.collector, self.replay, self.learner.actor, eps)
-            self.learner, um = self._update(
-                self.learner, self.replay,
-                n_updates=jnp.asarray(self.updates_per_chunk, jnp.int32))
-            if profiling:
-                jax.block_until_ready(
-                    jax.tree_util.tree_leaves(self.learner.actor)[0])
-                jax.profiler.stop_trace()
-                self.log.info(f"Profiler trace written to {cfg.profile_dir}")
-
-            self._check_finite(um)
-            n_eps = int(m["episodes"])
+        active = np.asarray(rows["active"])
+        idxs = np.nonzero(active)[0]
+        if not bool(np.all(np.asarray(rows["u_finite"])[idxs])):
+            self._check_finite({"finite": False})
+        for r in idxs:
+            n_eps = int(rows["episodes"][r])
             if n_eps > 0:
                 # per-agent episode reward lines (the reference logs one per
                 # agent thread, dqn_main.cpp:355-356)
-                rets = np.atleast_1d(np.asarray(m["sum_episode_return"]))
+                rets = np.atleast_1d(np.asarray(rows["sum_episode_return"][r]))
                 self.episode_count += n_eps
                 for a in range(rets.shape[0]):
                     self.log.episode(
                         self.episode_count, float(rets[a]) / n_eps,
                         agent=a if rets.shape[0] > 1 else None)
-            it = self._iter()
             # Smoothed critic-loss / avg-Q every loss_display_iter learner
             # iterations (dqn.cpp:806-817): accumulate update-weighted sums
             # and emit when the counter crosses the display boundary.
-            n_up = int(um["updates"])
+            n_up = int(rows["u_updates"][r])
             if n_up > 0:
-                loss_sum += float(um["critic_loss"]) * n_up
-                q_sum += float(um["avg_q"]) * n_up
-                loss_n += n_up
-            if it >= last_loss_iter + cfg.loss_display_iter and loss_n > 0:
-                self.log.critic_loss(it, loss_sum / loss_n)
-                self.log.actor_q(it, q_sum / loss_n)
-                loss_sum, q_sum, loss_n = 0.0, 0.0, 0
-                last_loss_iter = it
-            # dt is taken only after the metric fetches above have blocked on
-            # the chunk's device results — timing dispatch alone would credit
-            # the chunk with async-queue latency, not real work.
-            dt = time.time() - t0
-            self.log.throughput(int(m["env_steps"]), n_up, dt,
-                                passes=int(np.sum(np.asarray(m["passes"]))))
+                self._loss_sum += float(rows["u_critic_loss"][r]) * n_up
+                self._q_sum += float(rows["u_avg_q"][r]) * n_up
+                self._loss_n += n_up
+            it = int(rows["iter"][r])
+            if (it >= self._last_loss_iter + cfg.loss_display_iter
+                    and self._loss_n > 0):
+                self.log.critic_loss(it, self._loss_sum / self._loss_n)
+                self.log.actor_q(it, self._q_sum / self._loss_n)
+                self._loss_sum, self._q_sum, self._loss_n = 0.0, 0.0, 0
+                self._last_loss_iter = it
+        self.log.throughput(
+            int(np.sum(np.asarray(rows["env_steps"])[idxs])),
+            int(np.sum(np.asarray(rows["u_updates"])[idxs])), dt,
+            passes=int(np.sum(np.asarray(rows["passes"])[idxs])))
+
+    def train(self):
+        cfg = self.cfg
+        last_eval_iter = self._iter()
+        last_snapshot_iter = self._iter()
+        self._last_loss_iter = self._iter()
+        self._loss_sum, self._q_sum, self._loss_n = 0.0, 0.0, 0
+        u = max(self.updates_per_chunk, 1)
+        step_idx = 0
+        while self._iter() < cfg.max_iter:
+            step_idx += 1
+            # One-shot profiler capture of a steady-state superstep (SURVEY
+            # §5: jax.profiler replaces the reference's caffe::Timer tracing).
+            profiling = bool(cfg.profile_dir) and step_idx == 2
+            if profiling:
+                jax.profiler.start_trace(cfg.profile_dir)
+            it = self._iter()
+            next_boundary = min(last_eval_iter + cfg.evaluate_freq,
+                                last_snapshot_iter + cfg.snapshot_freq,
+                                cfg.max_iter)
+            n_active = max(1, min(self.max_chunks,
+                                  math.ceil((next_boundary - it) / u)))
+            t0 = time.time()
+            self.learner, self.collector, self.replay, rows = \
+                self._superstep(self.learner, self.collector, self.replay,
+                                jnp.asarray(n_active, jnp.int32))
+            # ONE blocking fetch for the whole superstep's metric rows.
+            rows = jax.tree_util.tree_map(np.asarray, rows)
+            if profiling:
+                jax.profiler.stop_trace()
+                self.log.info(f"Profiler trace written to {cfg.profile_dir}")
+            self._consume_rows(rows, time.time() - t0)
+            it = self._iter()
 
             if it >= last_eval_iter + cfg.evaluate_freq:
                 self._eval_key, k = jax.random.split(self._eval_key)
