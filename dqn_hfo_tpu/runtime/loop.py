@@ -40,14 +40,23 @@ def defense_policies(cfg: RunConfig) -> tuple:
     """Per-defender policy list, goalie-capable slots first.
 
     Order mirrors the reference's client launch (dqn_main.cpp:427-436):
-    chasers (first one is the goalie), agent2d-style NPCs (chaser proxies
-    here), dummy goalies, then defense_agents slots — which the reference
-    never attaches a learner thread to (main(), dqn_main.cpp:421-426), so
-    they stand idle (dummies) while still widening the 50+9*P state."""
+    chasers (first one is the goalie), agent2d NPCs (`--defense-npcs` are
+    HFO's agent2d base-team bots — env/npc.py agent2d_defender_action),
+    dummy goalies, then defense_agents slots — which the reference never
+    attaches a learner thread to (main(), dqn_main.cpp:421-426), so they
+    stand idle (dummies) while still widening the 50+9*P state."""
     return (("chaser",) * cfg.defense_chasers
-            + ("chaser",) * cfg.defense_npcs
+            + ("agent2d",) * cfg.defense_npcs
             + ("dummy",) * cfg.defense_dummies
             + ("dummy",) * cfg.defense_agents)
+
+
+def offense_policies(cfg: RunConfig) -> tuple:
+    """Offense NPC slots: `--offense-npcs` are agent2d attackers (move,
+    receive, shoot/pass — env/npc.py agent2d_teammate_action);
+    `--offense-dummies` NOOP forever (dummy_teammate.cxx)."""
+    return (("agent2d",) * cfg.offense_npcs
+            + ("dummy",) * cfg.offense_dummies)
 
 
 def make_env_config(cfg: RunConfig) -> EnvConfig:
@@ -78,7 +87,8 @@ class Trainer:
         env_cfg = make_env_config(cfg)
         sp = make_server_params(cfg)
         self.env = HFOEnv(env_cfg, sp, noise_scale=cfg.noise_scale,
-                          npc_policy=defense_policies(cfg))
+                          npc_policy=defense_policies(cfg),
+                          offense_policy=offense_policies(cfg))
         self.venv = VecHFOEnv(self.env, cfg.envs)
         self.state_size = env_cfg.state_size
         self.compute_dtype = jnp.bfloat16 if cfg.bf16 else None
