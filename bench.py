@@ -113,6 +113,8 @@ def bench_train(n_envs: int, chunk_len: int, update_ratio: float = 0.1,
     from dqn_hfo_tpu.learner.collector import init_collector, rollout_chunk
     from dqn_hfo_tpu.learner.ddpg import DDPGConfig, init_learner, update_n
 
+    from dqn_hfo_tpu.runtime.superstep import build_superstep
+
     env = HFOEnv(EnvConfig(), DEFAULT_PARAMS, noise_scale=1.0)
     venv = VecHFOEnv(env, n_envs)
     dcfg = DDPGConfig(state_size=59, memory_threshold=1000)
@@ -121,29 +123,32 @@ def bench_train(n_envs: int, chunk_len: int, update_ratio: float = 0.1,
     ls = init_learner(jax.random.PRNGKey(0), dcfg)
     replay = rp.init_replay(500_000, n_envs, 59)
     cs = init_collector(venv, jax.random.PRNGKey(1), chunk_len)
-    roll = jax.jit(functools.partial(
-        rollout_chunk, venv=venv, chunk_len=chunk_len, gamma=dcfg.gamma),
-        donate_argnums=(0, 1))
-    upd = jax.jit(functools.partial(
-        update_n, cfg=dcfg, max_updates=updates_per_chunk),
-        donate_argnums=(0,))
+    roll_raw = functools.partial(
+        rollout_chunk, venv=venv, chunk_len=chunk_len, gamma=dcfg.gamma)
+    upd_raw = functools.partial(
+        update_n, cfg=dcfg, max_updates=updates_per_chunk)
+    upd = jax.jit(upd_raw, donate_argnums=(0,))
     n_up = jnp.asarray(updates_per_chunk, jnp.int32)
-    eps = jnp.asarray(0.1, jnp.float32)
+    # The real trainer path: superstep scanning n_chunks of rollout+updates
+    # in one program (runtime/superstep.py).
+    ss = jax.jit(build_superstep(
+        roll_raw, lambda l, r, n: upd_raw(l, r, n_updates=n),
+        updates_per_chunk, 10_000, 0.1, n_chunks),
+        donate_argnums=(0, 1, 2))
 
-    # warmup: fill window + replay, compile both programs
-    cs, replay, _ = roll(cs, replay, ls.actor, eps)
-    cs, replay, _ = roll(cs, replay, ls.actor, eps)
-    ls, _ = upd(ls, replay, n_updates=n_up)
+    # warmup: fill window + replay, compile
+    ls, cs, replay, _ = ss(ls, cs, replay, jnp.asarray(n_chunks, jnp.int32))
     jax.block_until_ready(ls.actor)
 
     t0 = time.perf_counter()
-    for _ in range(n_chunks):
-        cs, replay, m = roll(cs, replay, ls.actor, eps)
-        ls, um = upd(ls, replay, n_updates=n_up)
-    jax.block_until_ready(ls.actor)
+    ls, cs, replay, rows = ss(ls, cs, replay,
+                              jnp.asarray(n_chunks, jnp.int32))
+    jax.block_until_ready(rows["iter"])
     dt = time.perf_counter() - t0
     steps = n_chunks * n_envs * chunk_len
     # isolate update latency with one more timed burst
+    ls, _ = upd(ls, replay, n_updates=n_up)
+    jax.block_until_ready(ls.actor)
     t1 = time.perf_counter()
     ls, _ = upd(ls, replay, n_updates=n_up)
     jax.block_until_ready(ls.actor)
