@@ -7,29 +7,24 @@
 #
 #   bash scripts/protocol.sh            # full protocol (~1-2h on one chip)
 #
+# Ordered novel-evidence-first: the 2v1 passing proof and the 2v2 sharing
+# ablation have no round-1 counterpart, so they run before the multi-seed
+# repeats of the already-demonstrated 1v0/1v1 configs.
+#
 # Results land under runs/: per-run metrics jsonl + manifest.jsonl summaries.
-# Plot with: python scripts/plot.py runs/r2_1v0/seed*_metrics.jsonl ...
+# Plot with: python scripts/curves.py runs/r2_1v0 runs/r2_1v1 -o curves.png
 set -e
 cd "$(dirname "$0")/.."
 
 COMMON="--envs 128 --evaluate_freq 25600 --snapshot_freq 1000000 --no-snapshot_memory"
 
-# 1) 3 seeds of 1v0 empty goal, reference hyperparameters (BASELINE config 3)
-python scripts/exps.py --save_root runs/r2_1v0 --repeat 3 \
-  --base "$COMMON --max_iter 1000000 --explore 10000"
-
-# 2) 3 seeds of 1v1 vs the chaser keeper (mid-level macro actions)
-python scripts/exps.py --save_root runs/r2_1v1 --repeat 3 \
-  --base "$COMMON --defense_chasers 1 --action_space mid_level \
-          --max_iter 1000000 --explore 20000"
-
-# 3) 2v1 passing curriculum (train.sh:116-150): learner + agent2d teammate
+# 1) 2v1 passing curriculum (train.sh:116-150): learner + agent2d teammate
 #    vs the keeper — the pass_reward latch must fire (passes metric > 0)
 python scripts/exps.py --save_root runs/r2_2v1 --repeat 2 \
   --base "$COMMON --offense_npcs 1 --defense_chasers 1 \
           --action_space mid_level --max_iter 600000 --explore 20000"
 
-# 4) 2v2 sharing ablation: 2 learning agents vs keeper+agent2d defender,
+# 2) 2v2 sharing ablation: 2 learning agents vs keeper+agent2d defender,
 #    with and without first-4-layer sharing + shared replay (dqn.cpp:1037-1083)
 MA="--envs 64 --evaluate_freq 25600 --snapshot_freq 1000000 --no-snapshot_memory \
     --offense_agents 2 --defense_chasers 1 --defense_npcs 1 \
@@ -37,3 +32,12 @@ MA="--envs 64 --evaluate_freq 25600 --snapshot_freq 1000000 --no-snapshot_memory
 python scripts/exps.py --save_root runs/r2_2v2_share \
   --base "$MA --share_actor_layers 4 --share_critic_layers 4 --share_replay_memory"
 python scripts/exps.py --save_root runs/r2_2v2_noshare --base "$MA"
+
+# 3) 3 seeds of 1v0 empty goal, reference hyperparameters (BASELINE config 3)
+python scripts/exps.py --save_root runs/r2_1v0 --repeat 3 \
+  --base "$COMMON --max_iter 1000000 --explore 10000"
+
+# 4) 3 seeds of 1v1 vs the chaser keeper (mid-level macro actions)
+python scripts/exps.py --save_root runs/r2_1v1 --repeat 3 \
+  --base "$COMMON --defense_chasers 1 --action_space mid_level \
+          --max_iter 1000000 --explore 20000"
