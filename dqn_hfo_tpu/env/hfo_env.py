@@ -264,10 +264,15 @@ class VecHFOEnv:
     def __init__(self, env: HFOEnv, batch: int):
         self.env = env
         self.batch = batch
+        # Jitted: on a remote-tunneled backend, eager vmap dispatches each
+        # physics primitive as its own tiny compiled program — minutes of
+        # compile for one reset.  One jit = one compile.
+        self._reset = jax.jit(
+            lambda keys: jax.vmap(self.env.reset)(keys))
 
     def reset(self, key):
         keys = jax.random.split(key, self.batch)
-        return jax.vmap(self.env.reset)(keys)
+        return self._reset(keys)
 
     def step(self, states, actions, arg1, arg2, arg3=None):
         if arg3 is None:

@@ -42,8 +42,13 @@ def record_episode(env: HFOEnv, actor_params, key, epsilon: float = 0.0,
     """
     max_steps = max_steps or env.sp.frames_per_trial + 1
     k_reset, k_act = jax.random.split(key)
-    state, obs = env.reset(k_reset)
+    state, obs = jax.jit(env.reset)(k_reset)
     step = jax.jit(env.step)
+
+    @jax.jit
+    def _select(params, obs, k):
+        out = select_actions(params, obs, k, epsilon, None, space)
+        return (out,) + decode_action(out, space)
 
     q_fn = None
     if critic_params is not None:
@@ -58,8 +63,7 @@ def record_episode(env: HFOEnv, actor_params, key, epsilon: float = 0.0,
     key = k_act
     for t in range(max_steps):
         key, k = jax.random.split(key)
-        out = select_actions(actor_params, obs, k, epsilon, None, space)
-        act, a1, a2, a3 = decode_action(out, space)
+        out, act, a1, a2, a3 = _select(actor_params, obs, k)
         if q_fn is not None:
             q = np.asarray(q_fn(obs, out))
             traj["q"].append(q)

@@ -12,7 +12,7 @@
 # repeats of the already-demonstrated 1v0/1v1 configs.
 #
 # Results land under runs/: per-run metrics jsonl + manifest.jsonl summaries.
-# Plot with: python scripts/curves.py runs/r2_1v0 runs/r2_1v1 -o curves.png
+# Plot with: python scripts/curves.py runs/r3_1v0 runs/r3_1v1 -o curves.png
 set -e
 cd "$(dirname "$0")/.."
 
@@ -20,7 +20,7 @@ COMMON="--envs 128 --evaluate_freq 25600 --snapshot_freq 1000000 --no-snapshot_m
 
 # 1) 2v1 passing curriculum (train.sh:116-150): learner + agent2d teammate
 #    vs the keeper — the pass_reward latch must fire (passes metric > 0)
-python scripts/exps.py --save_root runs/r2_2v1 --repeat 2 \
+python scripts/exps.py --save_root runs/r3_2v1 --repeat 2 \
   --base "$COMMON --offense_npcs 1 --defense_chasers 1 \
           --action_space mid_level --max_iter 600000 --explore 20000"
 
@@ -29,15 +29,15 @@ python scripts/exps.py --save_root runs/r2_2v1 --repeat 2 \
 MA="--envs 64 --evaluate_freq 25600 --snapshot_freq 1000000 --no-snapshot_memory \
     --offense_agents 2 --defense_chasers 1 --defense_npcs 1 \
     --action_space mid_level --max_iter 600000 --explore 20000"
-python scripts/exps.py --save_root runs/r2_2v2_share \
+python scripts/exps.py --save_root runs/r3_2v2_share \
   --base "$MA --share_actor_layers 4 --share_critic_layers 4 --share_replay_memory"
-python scripts/exps.py --save_root runs/r2_2v2_noshare --base "$MA"
+python scripts/exps.py --save_root runs/r3_2v2_noshare --base "$MA"
 
 # 3) 3 seeds of 1v0 empty goal, reference hyperparameters (BASELINE config 3)
-python scripts/exps.py --save_root runs/r2_1v0 --repeat 3 \
+python scripts/exps.py --save_root runs/r3_1v0 --repeat 3 \
   --base "$COMMON --max_iter 1000000 --explore 10000"
 
 # 4) 3 seeds of 1v1 vs the chaser keeper (mid-level macro actions)
-python scripts/exps.py --save_root runs/r2_1v1 --repeat 3 \
+python scripts/exps.py --save_root runs/r3_1v1 --repeat 3 \
   --base "$COMMON --defense_chasers 1 --action_space mid_level \
           --max_iter 1000000 --explore 20000"
