@@ -215,10 +215,12 @@ def update_once(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
     frozen across the whole update burst."""
     key, k_sample = jax.random.split(ls.rng)
     if idx is None:
-        if axis_name is not None:
-            # distinct sample streams per shard; ls.rng stays replicated
-            k_sample = jax.random.fold_in(
-                k_sample, jax.lax.axis_index(axis_name))
+        # distinct sample streams per shard; ls.rng stays replicated.  The
+        # unsharded path folds in shard id 0 so a 1-device mesh reproduces
+        # it bitwise (tests/test_parallel.py DP-equivalence suite).
+        k_sample = jax.random.fold_in(
+            k_sample,
+            jax.lax.axis_index(axis_name) if axis_name is not None else 0)
         idx = rp.sample(replay, k_sample, cfg.minibatch)
     obs, action, reward, on_policy, next_obs, terminal = rp.gather(replay, idx)
 
@@ -293,8 +295,9 @@ def update_n(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
     # frozen during update_n, so this is equivalent to per-iteration
     # sampling and removes a full-buffer scan from every scan step.
     key, k_all = jax.random.split(ls.rng)
-    if axis_name is not None:
-        k_all = jax.random.fold_in(k_all, jax.lax.axis_index(axis_name))
+    # fold in the shard id (0 unsharded) — see update_once
+    k_all = jax.random.fold_in(
+        k_all, jax.lax.axis_index(axis_name) if axis_name is not None else 0)
     all_idx = rp.sample(replay, k_all, max_updates * cfg.minibatch).reshape(
         max_updates, cfg.minibatch)
     ls = ls._replace(rng=key)

@@ -147,13 +147,14 @@ def multi_rollout_chunk(cs: CollectorState, replay: rp.ReplayState,
 
     def step_fn(carry, _):
         env_states, counters, obs, replay, ep_ret, key = carry
-        key, *aks = jax.random.split(key, A + 1)
-        outs = []
-        for a in range(A):
-            p_a = jax.tree_util.tree_map(lambda x: x[a], actors_stacked)
-            outs.append(select_actions(p_a, obs[:, a, :], aks[a], epsilon,
-                                       compute_dtype, space))
-        actor_out = jnp.stack(outs, axis=1)            # (E, A, n_out)
+        key, k_act = jax.random.split(key)
+        # vmap over the agent axis (stacked params, per-agent obs column,
+        # per-agent key): compile time and program size stay constant in A.
+        actor_out = jax.vmap(
+            lambda p, o, k: select_actions(p, o, k, epsilon,
+                                           compute_dtype, space),
+            in_axes=(0, 1, 0), out_axes=1,
+        )(actors_stacked, obs, jax.random.split(k_act, A))  # (E, A, n_out)
         act, a1, a2, a3 = decode_action(actor_out, space)
         env_states, counters, obs2, info = venv.step_banked(
             env_states, counters, bank, act, a1, a2, a3)

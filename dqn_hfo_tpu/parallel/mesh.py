@@ -188,3 +188,124 @@ class DataParallel:
     def replicate_learner(self, ls: LearnerState) -> LearnerState:
         sharding = NamedSharding(self.mesh, P())
         return jax.device_put(ls, sharding)
+
+    # ------------------------------------------------------------ superstep
+    def build_superstep(self, updates_per_chunk: int, explore: int,
+                        final_epsilon: float, max_chunks: int):
+        """Fused multi-chunk DP train step — the runtime/superstep.py program
+        inside one shard_map: scan up to max_chunks (rollout + pmean'd
+        updates) chunks with the epsilon schedule in-graph, returning the
+        same (max_chunks, ...) metric rows schema the host loop consumes.
+        """
+        from dqn_hfo_tpu.learner.agent import calculate_epsilon
+
+        n_up = jnp.asarray(updates_per_chunk, jnp.int32)
+        n_shards = self.n_shards
+
+        def one_chunk(carry):
+            ls, cs, rs = carry
+            eps = calculate_epsilon(jnp.max(ls.iteration), explore,
+                                    final_epsilon)
+            if self.mcfg is None:
+                cs, rs, m = rollout_chunk(
+                    cs, rs, ls.actor, eps, self.venv_shard, self.chunk_len,
+                    self.gamma, self.compute_dtype, self.dcfg.space)
+                ls, um = update_n(ls, rs, self.dcfg_local, n_up,
+                                  self.max_updates, axis_name="data")
+            else:
+                cs, rs, m = multi_rollout_chunk(
+                    cs, rs, ls.actor, eps, self.venv_shard, self.chunk_len,
+                    self.gamma, self.n_agents, self.compute_dtype,
+                    self.dcfg.space)
+                ls, um = multi_update_n(ls, rs, self.dcfg_local, self.mcfg,
+                                        n_up, self.max_updates,
+                                        axis_name="data")
+            m = jax.tree_util.tree_map(
+                lambda x: jax.lax.psum(x, "data"), m)
+            um = dict(um)
+            # per-shard targets can diverge in finiteness; a replicated row
+            # needs the all-shards verdict
+            um["finite"] = jax.lax.psum(
+                um["finite"].astype(jnp.int32), "data") == n_shards
+            out = dict(m)
+            out.update({f"u_{k}": v for k, v in um.items()})
+            out["iter"] = jnp.max(ls.iteration)
+            out["active"] = jnp.asarray(True)
+            return (ls, cs, rs), out
+
+        def superstep_local(ls, cs, rs, n_active):
+            carry = (ls, cs, rs)
+            out_sds = jax.eval_shape(lambda c: one_chunk(c)[1], carry)
+            zeros = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), out_sds)
+            zeros["u_finite"] = jnp.asarray(True)
+
+            def body(carry, i):
+                return jax.lax.cond(i < n_active[0], one_chunk,
+                                    lambda c: (c, zeros), carry)
+
+            carry, rows = jax.lax.scan(
+                body, carry, jnp.arange(max_chunks, dtype=jnp.int32))
+            ls, cs, rs = carry
+            return ls, cs, rs, rows
+
+        fn = shard_map(
+            superstep_local, mesh=self.mesh,
+            in_specs=(P(), self._cspecs, self._rspecs, P()),
+            out_specs=(P(), self._cspecs, self._rspecs, P()),
+            check_vma=False,
+        )
+        jfn = jax.jit(fn, donate_argnums=(0, 1, 2))
+
+        def superstep(ls, cs, rs, n_active):
+            return jfn(ls, cs, rs,
+                       jnp.asarray(n_active, jnp.int32)[None])
+
+        return superstep
+
+    # ----------------------------------------------- replay (de)canonicalize
+    def canonical_replay(self, rs: rp.ReplayState) -> rp.ReplayState:
+        """Gather a sharded replay to host arrays in canonical agent-major
+        global column order (col = a*E_global + shard*E_shard + e) so
+        snapshots are topology-portable (reference .replaymemory role,
+        dqn.cpp:1146-1178)."""
+        import numpy as np
+        A, n, Es = self.n_agents, self.n_shards, self.env_per_shard
+
+        def perm(x):
+            x = np.asarray(x)
+            if x.ndim < 2 or A == 1:
+                return x
+            cols = x.reshape((x.shape[0], n, A, Es) + x.shape[2:])
+            return np.swapaxes(cols, 1, 2).reshape(x.shape)
+
+        d = rs._asdict()
+        return rp.ReplayState(
+            **{k: (np.asarray(v) if k == "cursor" else perm(v))
+               for k, v in d.items()})
+
+    def shard_replay(self, rs_host: rp.ReplayState) -> rp.ReplayState:
+        """Place a canonical (host/unsharded) replay onto the mesh in the
+        shard-major column layout the DP programs expect."""
+        import numpy as np
+        A, n, Es = self.n_agents, self.n_shards, self.env_per_shard
+
+        def unperm(x):
+            x = np.asarray(x)
+            if x.ndim < 2 or A == 1:
+                return x
+            cols = x.reshape((x.shape[0], A, n, Es) + x.shape[2:])
+            return np.swapaxes(cols, 1, 2).reshape(x.shape)
+
+        d = rs_host._asdict()
+        cols = np.asarray(d["obs"]).shape[1]
+        assert cols == A * n * Es, (
+            f"replay snapshot has {cols} columns; this topology needs "
+            f"{A * n * Es} (agents x shards x envs/shard)")
+        specs = replay_specs()._asdict()
+        out = {}
+        for k, v in d.items():
+            v = unperm(v) if k != "cursor" else np.asarray(v)
+            out[k] = jax.device_put(
+                jnp.asarray(v), NamedSharding(self.mesh, specs[k]))
+        return rp.ReplayState(**out)

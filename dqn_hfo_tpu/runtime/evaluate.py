@@ -26,8 +26,13 @@ from dqn_hfo_tpu.learner.agent import decode_action, select_actions
 
 def _eval_scan(actor_params, key, venv: VecHFOEnv, n_steps: int,
                epsilon: float, compute_dtype=None,
-               space=sp_mod.LOW_LEVEL, n_agents: int = 1):
-    """actor_params: single pytree (n_agents==1) or stacked leading-A."""
+               space=sp_mod.LOW_LEVEL, n_agents: int = 1,
+               critic_params=None):
+    """actor_params: single pytree (n_agents==1) or stacked leading-A.
+
+    With `critic_params` given, also returns a per-step (action, q) trace of
+    env 0 — the EvaluateAction Q the reference VLOGs every live step
+    (dqn_main.cpp:124-128)."""
     k_env, k_act = jax.random.split(key)
     states, obs = venv.reset(k_env)
 
@@ -36,29 +41,42 @@ def _eval_scan(actor_params, key, venv: VecHFOEnv, n_steps: int,
             out = select_actions(actor_params, obs[:, 0, :], key, epsilon,
                                  compute_dtype, space)
             return out[:, None, :]
-        keys = jax.random.split(key, n_agents)
-        outs = []
-        for a in range(n_agents):
-            p_a = jax.tree_util.tree_map(lambda x: x[a], actor_params)
-            outs.append(select_actions(p_a, obs[:, a, :], keys[a], epsilon,
-                                       compute_dtype, space))
-        return jnp.stack(outs, axis=1)
+        return jax.vmap(
+            lambda p, o, k: select_actions(p, o, k, epsilon,
+                                           compute_dtype, space),
+            in_axes=(0, 1, 0), out_axes=1,
+        )(actor_params, obs, jax.random.split(key, n_agents))
+
+    def q_of(obs, actor_out):
+        """Per-agent Q of env 0's state/action (EvaluateAction trace)."""
+        from dqn_hfo_tpu.models.nets import critic_apply
+        if n_agents == 1:
+            return critic_apply(critic_params, obs[:1, 0], actor_out[:1, 0])
+        return jax.vmap(
+            lambda c, o, a: critic_apply(c, o[:1], a[:1])[0],
+            in_axes=(0, 1, 1),
+        )(critic_params, obs, actor_out)
 
     def step_fn(carry, _):
         states, obs, key, ep_reward = carry
         key, k = jax.random.split(key)
         actor_out = select(obs, k)
         action, a1, a2, a3 = decode_action(actor_out, space)
+        trace = None
+        if critic_params is not None:
+            trace = (action[0].reshape(n_agents),
+                     q_of(obs, actor_out).reshape(n_agents),
+                     states.status[0] != C.IN_GAME)  # env 0 already absorbed
         states, obs, info = venv.step_absorb(states, action, a1, a2, a3)
         ep_reward = ep_reward + info.reward        # (E, A) per-agent
-        return (states, obs, key, ep_reward), None
+        return (states, obs, key, ep_reward), trace
 
     E = obs.shape[0]
     init = (states, obs, k_act, jnp.zeros((E, n_agents), jnp.float32))
-    (states, obs, _, ep_reward), _ = jax.lax.scan(
+    (states, obs, _, ep_reward), trace = jax.lax.scan(
         step_fn, init, None, length=n_steps
     )
-    return ep_reward, states.t, states.status
+    return ep_reward, states.t, states.status, trace
 
 
 def _avg_std(x: np.ndarray):
@@ -79,13 +97,18 @@ class Evaluator:
             _eval_scan, venv=venv, n_steps=n_steps, epsilon=epsilon,
             compute_dtype=compute_dtype, space=space, n_agents=n_agents,
         ))
+        self.n_agents = n_agents
 
-    def __call__(self, actor_params, key) -> Dict[str, float]:
+    def __call__(self, actor_params, key,
+                 critic_params=None) -> Dict[str, float]:
         """Returns the reference evaluation metrics; episode reward is
         per-agent (the reference logs one Evaluation line per agent thread,
         dqn_main.cpp:194-204) — agent 0's numbers fill the top-level keys
-        and `per_agent` carries every agent's reward stats."""
-        rewards, steps, statuses = self._fn(actor_params, key)
+        and `per_agent` carries every agent's reward stats.  With
+        `critic_params`, metrics include `q_trace` = per-step
+        (action_id (T, A), q (T, A)) of env 0 (dqn_main.cpp:124-128)."""
+        rewards, steps, statuses, trace = self._fn(
+            actor_params, key, critic_params=critic_params)
         rewards = np.asarray(rewards)             # (E, A)
         steps = np.asarray(steps)
         statuses = np.asarray(statuses)
@@ -107,4 +130,8 @@ class Evaluator:
         }
         if len(per_agent) > 1:
             m["per_agent"] = per_agent
+        if trace is not None:
+            live = ~np.asarray(trace[2])      # env 0 still in its episode
+            m["q_trace"] = (np.asarray(trace[0])[live],
+                            np.asarray(trace[1])[live])
         return m

@@ -123,7 +123,28 @@ class Trainer:
         self.n_agents = cfg.offense_agents
         self.updates_per_chunk = int(cfg.envs * cfg.chunk_len *
                                      cfg.update_ratio)
-        if self.n_agents == 1:
+        # Data-parallel mesh routing (--mesh_devices; 0 = auto over all
+        # local devices).  The reference binary runs its whole topology in
+        # one process (dqn_main.cpp:388-442); here the same CLI invocation
+        # becomes an SPMD program over the 'data' axis when >1 device.
+        # Auto engages only when envs and the minibatch divide the device
+        # count (a config shaped for the mesh); an explicit --mesh_devices N
+        # asserts instead.
+        n_dev = jax.local_device_count()
+        if cfg.mesh_devices > 0:
+            n_mesh = cfg.mesh_devices
+        elif (n_dev > 1 and cfg.envs % n_dev == 0
+              and self.dcfg.minibatch % n_dev == 0):
+            n_mesh = n_dev
+        else:
+            n_mesh = 1
+        self.use_dp = n_mesh > 1
+        if self.use_dp:
+            self.log.info(f"Data-parallel mesh over {n_mesh} devices")
+        self.dp = None
+        if self.use_dp:
+            self._init_dp(n_mesh, k_learn, k_coll)
+        elif self.n_agents == 1:
             self.learner = init_learner(k_learn, self.dcfg)
             self.replay = rp.init_replay(
                 cfg.memory, cfg.envs, self.state_size,
@@ -176,14 +197,19 @@ class Trainer:
         # Fused multi-chunk train step (see runtime/superstep.py): one jitted
         # program per eval/snapshot interval instead of one host round trip
         # per chunk — the dominant cost over the TPU tunnel.
-        from dqn_hfo_tpu.runtime.superstep import build_superstep
         self.max_chunks = max(1, min(64, math.ceil(
             min(cfg.evaluate_freq, cfg.snapshot_freq, cfg.max_iter)
             / max(self.updates_per_chunk, 1))))
-        self._superstep = jax.jit(
-            build_superstep(_roll_raw, _upd_fn, self.updates_per_chunk,
-                            cfg.explore, cfg.epsilon, self.max_chunks),
-            donate_argnums=(0, 1, 2))
+        if self.use_dp:
+            self._superstep = self.dp.build_superstep(
+                self.updates_per_chunk, cfg.explore, cfg.epsilon,
+                self.max_chunks)
+        else:
+            from dqn_hfo_tpu.runtime.superstep import build_superstep
+            self._superstep = jax.jit(
+                build_superstep(_roll_raw, _upd_fn, self.updates_per_chunk,
+                                cfg.explore, cfg.epsilon, self.max_chunks),
+                donate_argnums=(0, 1, 2))
 
         eval_env = VecHFOEnv(self.env, cfg.repeat_games)
         self.evaluator = Evaluator(eval_env, cfg.frames_per_trial,
@@ -193,7 +219,45 @@ class Trainer:
 
         self.episode_count = 0
         self.best_score = -float("inf")
+        self._replay_from_host = False
         self._maybe_resume()
+        if self.use_dp:
+            # restored learner/replay live on the default device; put them
+            # into the mesh layout (params replicated, replay sharded)
+            self.learner = self.dp.replicate_learner(self.learner)
+            if self._replay_from_host:
+                self.replay = self.dp.shard_replay(self.replay)
+
+    def _init_dp(self, n_mesh: int, k_learn, k_coll):
+        """Build the DataParallel mesh path: sharded collector+replay,
+        replicated learner, fused DP superstep (built later in __init__)."""
+        cfg = self.cfg
+        from dqn_hfo_tpu.parallel.mesh import DataParallel, make_mesh
+        if jax.local_device_count() < n_mesh:
+            raise SystemExit(
+                f"--mesh_devices {n_mesh} but only "
+                f"{jax.local_device_count()} devices visible")
+        mesh = make_mesh(n_mesh)
+        mcfg = None
+        if self.n_agents == 1:
+            self.learner = init_learner(k_learn, self.dcfg)
+        else:
+            from dqn_hfo_tpu.learner.multi import (MultiConfig,
+                                                   init_multi_learner)
+            self.mcfg = MultiConfig(
+                n_agents=self.n_agents,
+                share_actor_layers=cfg.share_actor_layers,
+                share_critic_layers=cfg.share_critic_layers,
+                share_replay=cfg.share_replay_memory,
+            )
+            self.learner = init_multi_learner(k_learn, self.dcfg, self.mcfg)
+            mcfg = self.mcfg
+        self.dp = DataParallel(
+            mesh=mesh, env=self.env, n_envs=cfg.envs,
+            chunk_len=cfg.chunk_len, dcfg=self.dcfg, memory=cfg.memory,
+            max_updates=max(self.updates_per_chunk, 1), gamma=cfg.gamma,
+            compute_dtype=self.compute_dtype, mcfg=mcfg)
+        self.collector, self.replay = self.dp.init_state(k_coll)
 
     def _iter(self) -> int:
         import numpy as _np
@@ -238,6 +302,7 @@ class Trainer:
                     f"Restored per-agent learners at iter {self._iter()}")
             if mem_p or cfg.memory_snapshot:
                 self.replay = ckpt.load_replay(mem_p or cfg.memory_snapshot)
+                self._replay_from_host = True
                 self.log.info(
                     f"replay_mem_size = {int(rp.valid_count(self.replay))}")
             if resume_path:
@@ -263,6 +328,7 @@ class Trainer:
                     action_dim=self.space.output_size)
             else:
                 self.replay = ckpt.load_replay(mem_p)
+            self._replay_from_host = True
             self.log.info(
                 f"replay_mem_size = {int(rp.valid_count(self.replay))}")
         if resume_path:
@@ -273,9 +339,11 @@ class Trainer:
         cfg = self.cfg
         if not cfg.save:
             return
+        replay = (self.dp.canonical_replay(self.replay) if self.use_dp
+                  else self.replay)
         paths = ckpt.snapshot(
             prefix or cfg.save, self.learner,
-            self.replay,
+            replay,
             snapshot_memory=(cfg.snapshot_memory if snapshot_memory is None
                              else snapshot_memory),
             remove_old=(cfg.remove_old_snapshots if remove_old is None
@@ -369,7 +437,11 @@ class Trainer:
 
             if it >= last_eval_iter + cfg.evaluate_freq:
                 self._eval_key, k = jax.random.split(self._eval_key)
-                em = self.evaluator(self.learner.actor, k)
+                em = self.evaluator(
+                    self.learner.actor, k,
+                    critic_params=self.learner.critic if cfg.verbose
+                    else None)
+                self._log_q_trace(em.pop("q_trace", None))
                 self.log.evaluation(it, em)
                 # additional Evaluation line per extra agent (reference logs
                 # one per thread; reward stats are the per-agent ones)
@@ -394,6 +466,19 @@ class Trainer:
                 last_snapshot_iter = it
         self._snapshot()
 
+    def _log_q_trace(self, qt):
+        """--verbose eval: per-step action/Q lines of eval env 0 — the
+        VLOG(1) trace of the reference's live loop (dqn_main.cpp:124-128)."""
+        if qt is None:
+            return
+        from dqn_hfo_tpu.runtime.record import ACTION_NAMES
+        acts, qs = qt
+        for t in range(acts.shape[0]):
+            for a in range(acts.shape[1]):
+                self.log.q_trace(
+                    t, ACTION_NAMES.get(int(acts[t, a]), str(int(acts[t, a]))),
+                    float(qs[t, a]))
+
     def _record(self, it: int):
         """Record + render one greedy episode (record.sh analogue)."""
         import os
@@ -417,13 +502,19 @@ class Trainer:
 
     def evaluate_mode(self):
         self._eval_key, k = jax.random.split(self._eval_key)
-        em = self.evaluator(self.learner.actor, k)
+        em = self.evaluator(
+            self.learner.actor, k,
+            critic_params=self.learner.critic if self.cfg.verbose else None)
+        self._log_q_trace(em.pop("q_trace", None))
         self.log.evaluation(self._iter(), em)
         return em
 
     def benchmark(self, iterations: int = 1000):
         """--benchmark: one rollout chunk, then time `iterations` updates
         (DQN::Benchmark, dqn.cpp:487-498)."""
+        if self.use_dp:
+            raise SystemExit("--benchmark runs single-device; "
+                             "pass --mesh_devices 1")
         eps = jnp.asarray(1.0)
         self.collector, self.replay, _ = self._roll(
             self.collector, self.replay, self.learner.actor, eps)
@@ -445,6 +536,9 @@ class Trainer:
 
     def learn_offline(self):
         """--learn_offline: updates on a fixed replay (dqn_main.cpp:340-349)."""
+        if self.use_dp:
+            raise SystemExit("--learn_offline runs single-device; "
+                             "pass --mesh_devices 1")
         cfg = self.cfg
         while self._iter() < cfg.max_iter:
             self.learner, um = self._update(
