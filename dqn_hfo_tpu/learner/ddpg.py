@@ -243,7 +243,11 @@ def update_once(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
         ls.actor, critic, cfg, obs
     )
     if axis_name is not None:
-        agrads = jax.lax.pmean(agrads, axis_name)
+        # the actor loss is a SUM over the batch (per-sample dL/dQ = -1,
+        # dqn.cpp:918-921), so splitting the batch over shards needs psum —
+        # pmean would silently divide the actor gradient by the shard count
+        # (caught by tests/test_dp_equivalence.py's controlled-stream test)
+        agrads = jax.lax.psum(agrads, axis_name)
     a_opt = make_optimizer(cfg.actor_lr, cfg)
     a_updates, a_opt_state = a_opt.update(agrads, ls.actor_opt, ls.actor)
     actor = optax.apply_updates(ls.actor, a_updates)

@@ -1,0 +1,75 @@
+"""End-to-end CLI data-parallel test: `cli.py --mesh_devices 8` on the
+8-virtual-device CPU mesh, including the auto-resume contract — the
+production path the reference binary IS (dqn_main.cpp:388-442)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def run_cli(args, tmp_path):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["JAX_PLATFORMS"] = "cpu"
+    # the axon TPU plugin pins jax_platforms; a sitecustomize-free force:
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from dqn_hfo_tpu.cli import main; main()"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code] + args,
+        env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    return r.stdout
+
+
+BASE = [
+    "--mesh_devices", "8", "--envs", "16", "--frames_per_trial", "16",
+    "--untouched_time", "8", "--evaluate_freq", "50", "--snapshot_freq",
+    "50", "--repeat_games", "8", "--memory", "2048", "--memory_threshold",
+    "32", "--explore", "20", "--seed", "3", "--loss_display_iter", "25",
+]
+
+
+class TestMeshCLI:
+    def test_train_then_resume_through_cli(self, tmp_path):
+        prefix = str(tmp_path / "dp")
+
+        out = run_cli(["--save", prefix, "--max_iter", "75"] + BASE,
+                      tmp_path)
+        assert "Data-parallel mesh over 8 devices" in out
+        files = os.listdir(tmp_path)
+        assert any("_actor_iter_" in f for f in files)
+        assert any("_HiScore" in f for f in files)
+        recs = [json.loads(l) for l in open(prefix + "_metrics.jsonl")]
+        kinds = {r["kind"] for r in recs}
+        assert {"eval", "episode", "critic", "throughput"} <= kinds
+        it0 = max(r["iter"] for r in recs if r["kind"] == "critic")
+        assert it0 >= 75
+
+        # resume: same command, larger max_iter — must pick up the snapshot
+        # triple (learner + sharded replay) and continue
+        out2 = run_cli(["--save", prefix, "--max_iter", "150"] + BASE,
+                       tmp_path)
+        assert "Found Resumable(s)" in out2
+        assert "replay_mem_size" in out2
+        recs2 = [json.loads(l) for l in open(prefix + "_metrics.jsonl")]
+        it1 = max(r["iter"] for r in recs2 if r["kind"] == "critic")
+        assert it1 >= 150
+
+    def test_multiagent_sharing_through_cli(self, tmp_path):
+        prefix = str(tmp_path / "ma")
+        out = run_cli(
+            ["--save", prefix, "--max_iter", "60", "--offense_agents", "2",
+             "--defense_chasers", "1", "--share_actor_layers", "2",
+             "--share_critic_layers", "2", "--share_replay_memory"] + BASE,
+            tmp_path)
+        assert "Data-parallel mesh over 8 devices" in out
+        recs = [json.loads(l) for l in open(prefix + "_metrics.jsonl")]
+        evals = [r for r in recs if r["kind"] == "eval"]
+        assert evals and any(r.get("agent") == 1 for r in evals)

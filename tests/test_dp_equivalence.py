@@ -1,0 +1,164 @@
+"""DP numerical-equivalence tests: pin the per-shard-sampling + gradient
+pmean semantics the distribution story rests on.
+
+(a) a 1-device mesh reproduces the unsharded `update_n` bitwise;
+(b) an N-device mesh with a controlled global sample stream matches a
+    single-device batch-32 update (allclose — reduction order differs);
+(c) same as (a) for `multi_update_n` with layer sharing + shared replay.
+
+Reference semantics being preserved: the single-GPU update
+(/root/reference/src/dqn.cpp:828-972) — DP must be a pure batch-split of it.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from dqn_hfo_tpu.learner import replay as rp
+from dqn_hfo_tpu.learner.ddpg import (DDPGConfig, init_learner, update_n,
+                                      update_once)
+from dqn_hfo_tpu.learner.multi import (MultiConfig, init_multi_learner,
+                                       multi_update_n)
+from dqn_hfo_tpu.parallel.mesh import replay_specs
+
+F = 23  # small state for speed
+
+
+def synth_replay(key, E, S=32, n_valid=24, obs_size=F, action_size=10):
+    """A filled replay: rows [0, n_valid) valid across all E columns."""
+    ks = jax.random.split(key, 6)
+    rs = rp.init_replay(S * E, E, obs_size, action_size=action_size)
+    u = lambda k, shape: jax.random.uniform(k, shape, jnp.float32, -1.0, 1.0)
+    valid = jnp.zeros((S + 1, E), bool).at[:n_valid].set(True)
+    return rs._replace(
+        obs=u(ks[0], rs.obs.shape),
+        action=u(ks[1], rs.action.shape),
+        reward=u(ks[2], rs.reward.shape),
+        target=u(ks[3], rs.target.shape),
+        next_obs=u(ks[4], rs.next_obs.shape),
+        terminal=jax.random.bernoulli(ks[5], 0.2, rs.terminal.shape),
+        valid=valid,
+        cursor=jnp.asarray(n_valid, jnp.int32),
+    )
+
+
+def tree_assert(fn, a, b):
+    jax.tree_util.tree_map(
+        lambda x, y: fn(np.asarray(x), np.asarray(y)), a, b)
+
+
+def small_cfg(**kw):
+    kw.setdefault("state_size", F)
+    kw.setdefault("memory_threshold", 8)
+    kw.setdefault("actor_tower", (16, 16))
+    kw.setdefault("critic_tower", (16, 16))
+    return DDPGConfig(**kw)
+
+
+class TestOneDeviceMeshBitwise:
+    def test_update_n_1device_mesh_equals_unsharded(self):
+        cfg = small_cfg(minibatch=16)
+        ls = init_learner(jax.random.PRNGKey(0), cfg)
+        rs = synth_replay(jax.random.PRNGKey(1), E=4)
+
+        ref_ls, ref_m = jax.jit(functools.partial(
+            update_n, cfg=cfg, max_updates=4))(ls, rs, n_updates=4)
+
+        mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+        fn = shard_map(
+            lambda ls, rs, n: update_n(ls, rs, cfg, n[0], 4,
+                                       axis_name="data"),
+            mesh=mesh, in_specs=(P(), replay_specs(), P()),
+            out_specs=(P(), P()), check_vma=False)
+        dp_ls, dp_m = jax.jit(fn)(ls, rs, jnp.asarray([4], jnp.int32))
+
+        tree_assert(np.testing.assert_array_equal, ref_ls, dp_ls)
+        assert int(ref_m["updates"]) == int(dp_m["updates"]) == 4
+        np.testing.assert_array_equal(np.asarray(ref_m["critic_loss"]),
+                                      np.asarray(dp_m["critic_loss"]))
+
+    def test_multi_update_n_sharing_1device_mesh_equals_unsharded(self):
+        cfg = small_cfg(minibatch=16)
+        mcfg = MultiConfig(n_agents=2, share_actor_layers=2,
+                           share_critic_layers=1, share_replay=True)
+        mls = init_multi_learner(jax.random.PRNGKey(2), cfg, mcfg)
+        rs = synth_replay(jax.random.PRNGKey(3), E=8)  # (A=2) x (E=4) cols
+
+        ref_ls, ref_m = jax.jit(functools.partial(
+            multi_update_n, dcfg=cfg, mcfg=mcfg, max_updates=3))(
+                mls, rs, n_updates=3)
+
+        mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+        fn = shard_map(
+            lambda mls, rs, n: multi_update_n(mls, rs, cfg, mcfg, n[0], 3,
+                                              axis_name="data"),
+            mesh=mesh, in_specs=(P(), replay_specs(), P()),
+            out_specs=(P(), P()), check_vma=False)
+        dp_ls, dp_m = jax.jit(fn)(mls, rs, jnp.asarray([3], jnp.int32))
+
+        tree_assert(np.testing.assert_array_equal, ref_ls, dp_ls)
+        assert int(ref_m["updates"]) == int(dp_m["updates"]) == 3
+
+
+class TestNShardControlledStream:
+    def test_4shard_controlled_batch_matches_single_batch32(self):
+        """Four shards, each updating from a hand-picked 8-transition slice
+        of its local replay columns, must produce the same post-update
+        learner as one device updating from the union batch of 32."""
+        n_shards, E_local, B = 4, 2, 32
+        E = n_shards * E_local
+        cfg = small_cfg(minibatch=B)
+        ls = init_learner(jax.random.PRNGKey(4), cfg)
+        rs = synth_replay(jax.random.PRNGKey(5), E=E)
+        S1 = rs.obs.shape[0]  # S+1 rows
+
+        rng = np.random.RandomState(7)
+        rows = rng.randint(0, 24, size=B)          # valid rows
+        e_local = rng.randint(0, E_local, size=B)
+        shard_of = np.repeat(np.arange(n_shards), B // n_shards)
+        # local flat index within a (S1, E_local) shard buffer
+        idx_local = (rows * E_local + e_local).astype(np.int32)
+        # the same transitions' flat index in the (S1, E) global buffer
+        e_global = shard_of * E_local + e_local
+        idx_global = (rows * E + e_global).astype(np.int32)
+
+        ref_ls, _ = jax.jit(
+            lambda ls, rs, idx: update_once(ls, rs, cfg, idx=idx))(
+                ls, rs, jnp.asarray(idx_global))
+
+        mesh = Mesh(np.array(jax.devices()[:n_shards]), ("data",))
+        fn = shard_map(
+            lambda ls, rs, idx: update_once(ls, rs, cfg, axis_name="data",
+                                            idx=idx),
+            mesh=mesh, in_specs=(P(), replay_specs(), P("data")),
+            out_specs=(P(), P()), check_vma=False)
+        dp_ls, _ = jax.jit(fn)(ls, rs, jnp.asarray(idx_local))
+
+        close = functools.partial(np.testing.assert_allclose,
+                                  rtol=2e-5, atol=1e-6)
+        tree_assert(close, ref_ls.actor, dp_ls.actor)
+        tree_assert(close, ref_ls.critic, dp_ls.critic)
+        tree_assert(close, ref_ls.actor_target, dp_ls.actor_target)
+        tree_assert(close, ref_ls.critic_target, dp_ls.critic_target)
+
+    def test_4shard_wrong_scaling_would_fail(self):
+        """Sanity: the controlled-stream test has teeth — a x4 lr error
+        (the classic silent DP bug) moves params far beyond tolerance."""
+        n_shards, E_local, B = 4, 2, 32
+        E = n_shards * E_local
+        cfg = small_cfg(minibatch=B)
+        cfg4 = small_cfg(minibatch=B, actor_lr=cfg.actor_lr * 4,
+                         critic_lr=cfg.critic_lr * 4)
+        ls = init_learner(jax.random.PRNGKey(4), cfg)
+        rs = synth_replay(jax.random.PRNGKey(5), E=E)
+        idx = jnp.arange(B, dtype=jnp.int32)
+        a, _ = jax.jit(lambda: update_once(ls, rs, cfg, idx=idx))()
+        b, _ = jax.jit(lambda: update_once(ls, rs, cfg4, idx=idx))()
+        with np.testing.assert_raises(AssertionError):
+            tree_assert(functools.partial(np.testing.assert_allclose,
+                                          rtol=2e-5, atol=1e-6),
+                        a.critic, b.critic)
