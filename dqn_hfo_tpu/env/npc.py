@@ -105,6 +105,25 @@ def _goto(pos, body, target, ball_rel_ang):
     return act, arg1, arg2
 
 
+def scripted_striker_action(obs_row):
+    """Fixed benchmark striker for NPC difficulty calibration: dash at the
+    ball, and when kickable shoot at a point 80% toward the near post / 20%
+    goal center (obs feature indices per hfo_game.cpp:131-152: [12] kickable,
+    [13:15] goal-center sin/cos, [16:18] post sin/cos, [51:53] ball sin/cos).
+
+    This is the yardstick that locates each defender's difficulty relative
+    to the others (scripts/calibrate_npcs.py) — it is NOT a learner."""
+    kickable = obs_row[12] > 0
+    post = jnp.arctan2(obs_row[16], obs_row[17])
+    center = jnp.arctan2(obs_row[13], obs_row[14])
+    ball = jnp.arctan2(obs_row[51], obs_row[52])
+    act = jnp.where(kickable, C.KICK, C.DASH).astype(jnp.int32)
+    arg1 = jnp.asarray(100.0, jnp.float32)
+    arg2 = (jnp.where(kickable, 0.8 * post + 0.2 * center, ball)
+            * RAD2DEG).astype(jnp.float32)
+    return act, arg1, arg2
+
+
 def agent2d_defender_action(sp: ServerParams, state: EnvState, player_idx,
                             is_goalie):
     """Agent2d-flavored defender: goal-side mark + intercept geometry.

@@ -170,3 +170,44 @@ class TestAgent2dTeammate:
                 status = int(info.status)
                 break
         assert status == C.GOAL
+
+
+class TestDifficultyLadder:
+    """Pin the defender difficulty ordering the calibration harness
+    (scripts/calibrate_npcs.py) reports: against a fixed scripted striker,
+    dummy concedes like an empty goal, the chaser denies some, the agent2d
+    keeper denies most (results/npc_ladder.json has the committed 512-episode
+    ladder; this is the fast regression version)."""
+
+    def ladder_rung(self, defender, episodes=64):
+        from dqn_hfo_tpu.env.hfo_env import VecHFOEnv
+        from dqn_hfo_tpu.env.npc import scripted_striker_action
+        cfg = EnvConfig(defense_npcs=1, defense_goalie=True)
+        env = HFOEnv(cfg, SP, noise_scale=1.0, npc_policy=defender)
+        venv = VecHFOEnv(env, episodes)
+
+        def episode(key):
+            states, obs = venv.reset(key)
+
+            def step_fn(carry, _):
+                states, obs = carry
+                a, p1, p2 = jax.vmap(scripted_striker_action)(obs[:, 0, :])
+                states, obs, _ = venv.step_absorb(
+                    states, a[:, None], p1[:, None], p2[:, None])
+                return (states, obs), None
+
+            (states, _), _ = jax.lax.scan(
+                step_fn, (states, obs), None, length=SP.frames_per_trial)
+            return states.status
+
+        status = np.asarray(jax.jit(episode)(jax.random.PRNGKey(17)))
+        return float(np.mean(status == C.GOAL))
+
+    def test_ladder_ordering(self):
+        dummy = self.ladder_rung("dummy")
+        chaser = self.ladder_rung("chaser")
+        agent2d = self.ladder_rung("agent2d")
+        assert dummy > 0.6                      # near-empty goal
+        assert chaser < dummy - 0.05            # chaser denies some
+        assert agent2d < chaser - 0.2           # keeper denies most
+        assert agent2d < 0.45
