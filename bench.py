@@ -89,21 +89,29 @@ def bench_env(n_envs: int, n_steps: int, repeats: int = 3,
     # compile + warmup
     states, obs, key, _ = chunk(states, obs, key)
     jax.block_until_ready(states.ball_pos)
-    best = 0.0
+    samples = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         states, obs, key, s = chunk(states, obs, key)
         jax.block_until_ready(s)
         dt = time.perf_counter() - t0
-        best = max(best, n_envs * n_steps / dt)
-    return best
+        samples.append(n_envs * n_steps / dt)
+    samples.sort()
+    # median with (min, max) spread — the committed number must be the
+    # driver-reproducible one, not a best-of-repeats
+    return samples[len(samples) // 2], samples[0], samples[-1]
 
 
 def bench_train(n_envs: int, chunk_len: int, update_ratio: float = 0.1,
-                n_chunks: int = 3):
+                n_chunks: int = 3, minibatch: int = 32):
     """Coupled train-step rate: rollout chunk + int(steps*update_ratio)
     DDPG updates, the real training cadence.  Returns
-    (train_env_steps_per_s, avg_update_ms)."""
+    (train_env_steps_per_s, avg_update_ms).
+
+    minibatch=32 is reference parity (kMinibatchSize); minibatch>32 is the
+    clearly-non-parity large-batch mode at the SAME gradient-sample budget
+    (updates scaled by 32/minibatch) — the lever for the update-bound
+    coupled path."""
     import functools
 
     from dqn_hfo_tpu.constants import DEFAULT_PARAMS
@@ -117,8 +125,10 @@ def bench_train(n_envs: int, chunk_len: int, update_ratio: float = 0.1,
 
     env = HFOEnv(EnvConfig(), DEFAULT_PARAMS, noise_scale=1.0)
     venv = VecHFOEnv(env, n_envs)
-    dcfg = DDPGConfig(state_size=59, memory_threshold=1000)
-    updates_per_chunk = int(n_envs * chunk_len * update_ratio)
+    dcfg = DDPGConfig(state_size=59, memory_threshold=1000,
+                      minibatch=minibatch)
+    updates_per_chunk = max(
+        1, int(n_envs * chunk_len * update_ratio * 32 / minibatch))
 
     ls = init_learner(jax.random.PRNGKey(0), dcfg)
     replay = rp.init_replay(500_000, n_envs, 59)
@@ -169,15 +179,19 @@ def main():
     n_envs = args.envs or (256 if args.quick else 4096)
     n_steps = args.steps or (100 if args.quick else 250)
 
-    sps = bench_env(n_envs, n_steps, with_actor=True)
+    sps, sps_lo, sps_hi = bench_env(n_envs, n_steps, with_actor=True)
     print(f"# rollout throughput (with actor fwd): {sps:,.0f} env-steps/s "
+          f"median [{sps_lo:,.0f}, {sps_hi:,.0f}] "
           f"({n_envs} envs x {n_steps} steps)", file=sys.stderr)
-    env_only = bench_env(n_envs, n_steps, with_actor=False)
+    env_only, eo_lo, eo_hi = bench_env(n_envs, n_steps, with_actor=False)
     print(f"# env-only throughput (random actions): {env_only:,.0f} "
-          f"env-steps/s", file=sys.stderr)
+          f"env-steps/s median [{eo_lo:,.0f}, {eo_hi:,.0f}]",
+          file=sys.stderr)
 
     extra = {
         "env_only_steps_per_s": round(env_only),
+        "spread": [round(sps_lo), round(sps_hi)],
+        "env_only_spread": [round(eo_lo), round(eo_hi)],
         "envs": n_envs,
         "steps": n_steps,
     }
@@ -185,12 +199,20 @@ def main():
         t_envs = 32 if args.quick else 128
         t_chunk = 100 if args.quick else 500
         train_sps, upd_ms = bench_train(t_envs, t_chunk)
-        print(f"# coupled train rate ({t_envs} envs, update_ratio 0.1): "
-              f"{train_sps:,.0f} env-steps/s; avg update "
+        print(f"# coupled train rate ({t_envs} envs, update_ratio 0.1, "
+              f"parity batch 32): {train_sps:,.0f} env-steps/s; avg update "
               f"{upd_ms:.3f} ms", file=sys.stderr)
         extra["train_env_steps_per_s"] = round(train_sps)
         extra["avg_update_ms"] = round(upd_ms, 4)
         extra["train_envs"] = t_envs
+        # non-parity: batch-1024 updates at the same gradient-sample budget
+        big = 256 if args.quick else 1024
+        train_sps_b, upd_ms_b = bench_train(t_envs, t_chunk, minibatch=big)
+        print(f"# coupled train rate (NON-PARITY batch {big}, same sample "
+              f"budget): {train_sps_b:,.0f} env-steps/s; avg update "
+              f"{upd_ms_b:.3f} ms", file=sys.stderr)
+        extra[f"train_env_steps_per_s_b{big}_nonparity"] = round(train_sps_b)
+        extra[f"avg_update_ms_b{big}"] = round(upd_ms_b, 4)
 
     print(json.dumps({
         "metric": "env_steps_per_s",

@@ -104,6 +104,10 @@ class RunConfig:
     critic_tower: str = "1024,512,256,128"
 
     # --- TPU-native batching/distribution (new) ---
+    # Update minibatch. 32 = reference parity (kMinibatchSize, dqn.hpp:19);
+    # larger values are a clearly-non-parity throughput lever for the
+    # update-bound coupled train path (see RESULTS.md).
+    minibatch: int = 32
     envs: int = 8                 # lockstep env instances
     chunk_len: int = 0            # 0 -> frames_per_trial (window invariant)
     bf16: bool = False            # bfloat16 compute in the nets

@@ -96,6 +96,7 @@ class Trainer:
         self.space = sp_mod.SPACES[cfg.action_space]
         self.dcfg = DDPGConfig(
             state_size=self.state_size,
+            minibatch=cfg.minibatch,
             action_space=cfg.action_space,
             gamma=cfg.gamma,
             tau=cfg.tau,
