@@ -43,6 +43,19 @@ class TestConfig:
         with pytest.raises(ValueError):
             RunConfig(save="x", chunk_len=100, frames_per_trial=500)
 
+    def test_minibatch_flag_reaches_learner_config(self, tmp_path):
+        """--minibatch (32 = kMinibatchSize parity; >32 = non-parity
+        throughput lever) must thread through to the DDPG config."""
+        from dqn_hfo_tpu.runtime.loop import Trainer
+        c = parse_args(["--save", str(tmp_path / "m"), "--minibatch", "64",
+                        "--envs", "4", "--frames_per_trial", "30",
+                        "--untouched_time", "20", "--memory", "2000",
+                        "--seed", "3"])
+        assert c.minibatch == 64
+        t = Trainer(c)
+        assert t.dcfg.minibatch == 64
+        assert RunConfig(save="x").minibatch == 32  # parity default
+
     def test_env_config_mapping(self):
         c = RunConfig(save="x", offense_agents=2, offense_dummies=1,
                       defense_chasers=1)
