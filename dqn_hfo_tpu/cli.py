@@ -7,13 +7,30 @@ the same flag names (runtime/config.py).  Modes: train (default),
 
 from __future__ import annotations
 
+import os
 import sys
 
-from dqn_hfo_tpu.runtime.config import parse_args
-from dqn_hfo_tpu.runtime.loop import run
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: over the TPU tunnel the fused-superstep
+    compile costs minutes; repeat runs of the same config (multi-seed sweeps,
+    resume-after-restart) should pay it once."""
+    try:
+        import jax
+        cache = os.environ.get(
+            "DQN_HFO_JAX_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def main(argv=None):
+    _enable_compile_cache()
+    from dqn_hfo_tpu.runtime.config import parse_args
+    from dqn_hfo_tpu.runtime.loop import run
     cfg = parse_args(argv)
     return run(cfg)
 
