@@ -75,6 +75,44 @@ def summarize(metrics_path: str) -> dict:
     return out
 
 
+def run_with_watchdog(cmd, save: str, stall_timeout: float) -> int:
+    """Run one job; kill it (rc -9) if its metrics/log files stop advancing
+    for stall_timeout seconds — the failure mode is a wedged device claim
+    that sleeps forever with no progress.  A killed job stays un-done in the
+    manifest, so the next sweep pass retries it (auto-resuming from its own
+    snapshots)."""
+    log_path = save + "_train.log"
+    metrics_path = save + "_metrics.jsonl"
+
+    def progress():
+        t = 0.0
+        for p in (log_path, metrics_path):
+            try:
+                t = max(t, os.path.getmtime(p))
+            except OSError:
+                pass
+        return t
+
+    with open(log_path, "w") as log:
+        proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT)
+        last = time.time()
+        last_mtime = 0.0
+        while True:
+            rc = proc.poll()
+            if rc is not None:
+                return rc
+            m = progress()
+            if m > last_mtime:
+                last_mtime, last = m, time.time()
+            elif time.time() - last > stall_timeout:
+                print(f"[stall] no progress for {stall_timeout:.0f}s; "
+                      f"killing pid {proc.pid}", flush=True)
+                proc.kill()
+                proc.wait()
+                return -9
+            time.sleep(10)
+
+
 def load_manifest(path: str) -> dict:
     done = {}
     if os.path.exists(path):
@@ -98,6 +136,12 @@ def main():
     ap.add_argument("--repeat", type=int, default=1,
                     help="seeds per grid point (seed = 1..repeat)")
     ap.add_argument("--dry_run", action="store_true")
+    ap.add_argument("--stall_timeout", type=float, default=900.0,
+                    help="kill a run whose log/metrics stop advancing for "
+                         "this many seconds (wedged device claim)")
+    ap.add_argument("--settle", type=float, default=15.0,
+                    help="seconds to wait before each run so the previous "
+                         "TPU claim fully releases")
     args = ap.parse_args()
 
     os.makedirs(args.save_root, exist_ok=True)
@@ -126,9 +170,12 @@ def main():
         print(f"[run ] {name}: {' '.join(cmd)}")
         if args.dry_run:
             continue
+        # Let the previous run's device claim fully release — claiming the
+        # single-tenant TPU while the prior process is still tearing down
+        # can queue forever (.claude/skills/verify: single-tenant gotcha).
+        time.sleep(args.settle)
         t0 = time.time()
-        with open(save + "_train.log", "w") as log:
-            rc = subprocess.call(cmd, stdout=log, stderr=subprocess.STDOUT)
+        rc = run_with_watchdog(cmd, save, args.stall_timeout)
         rec = {
             "name": name, "point": point, "cmd": " ".join(cmd),
             "status": "done" if rc == 0 else f"failed({rc})",
