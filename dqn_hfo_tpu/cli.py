@@ -29,6 +29,8 @@ def _enable_compile_cache():
 
 def main(argv=None):
     _enable_compile_cache()
+    from dqn_hfo_tpu.parallel.distributed import maybe_initialize
+    maybe_initialize()  # no-op unless multi-host env vars are present
     from dqn_hfo_tpu.runtime.config import parse_args
     from dqn_hfo_tpu.runtime.loop import run
     cfg = parse_args(argv)

@@ -131,7 +131,7 @@ class Trainer:
         # Auto engages only when envs and the minibatch divide the device
         # count (a config shaped for the mesh); an explicit --mesh_devices N
         # asserts instead.
-        n_dev = jax.local_device_count()
+        n_dev = jax.device_count()  # global: spans hosts under jax.distributed
         if cfg.mesh_devices > 0:
             n_mesh = cfg.mesh_devices
         elif (n_dev > 1 and cfg.envs % n_dev == 0
@@ -234,10 +234,10 @@ class Trainer:
         replicated learner, fused DP superstep (built later in __init__)."""
         cfg = self.cfg
         from dqn_hfo_tpu.parallel.mesh import DataParallel, make_mesh
-        if jax.local_device_count() < n_mesh:
+        if jax.device_count() < n_mesh:
             raise SystemExit(
                 f"--mesh_devices {n_mesh} but only "
-                f"{jax.local_device_count()} devices visible")
+                f"{jax.device_count()} devices visible")
         mesh = make_mesh(n_mesh)
         mcfg = None
         if self.n_agents == 1:
@@ -340,8 +340,15 @@ class Trainer:
         cfg = self.cfg
         if not cfg.save:
             return
-        replay = (self.dp.canonical_replay(self.replay) if self.use_dp
-                  else self.replay)
+        replay = self.replay
+        if self.use_dp:
+            if jax.process_count() > 1:
+                # multi-host: the sharded replay is not host-addressable from
+                # one process; snapshot nets only (resume refills the buffer)
+                self.log.info("Multi-host run: skipping replay snapshot")
+                replay = None
+            else:
+                replay = self.dp.canonical_replay(self.replay)
         paths = ckpt.snapshot(
             prefix or cfg.save, self.learner,
             replay,
