@@ -41,3 +41,28 @@ python scripts/exps.py --save_root runs/r3_1v0 --repeat 3 \
 python scripts/exps.py --save_root runs/r3_1v1 --repeat 3 \
   --base "$COMMON --defense_chasers 1 --action_space mid_level \
           --max_iter 1000000 --explore 20000"
+
+# 5) (round 3 additions) 1v1 vs the agent2d stand-in keeper — the hardest
+#    ladder rung (results/npc_ladder.json); reference regime: HiScore 0.8
+#    at 5.9M iters vs real agent2d (train.sh:79-80)
+python scripts/exps.py --save_root runs/r3_1v1_agent2d --repeat 2 \
+  --base "--envs 128 --evaluate_freq 51200 --snapshot_freq 2000000 \
+          --no-snapshot_memory --defense_npcs 1 --action_space mid_level \
+          --max_iter 2000000 --explore 20000"
+
+# 6) replay-producing 1v0 run + offline critic_lr sweep over its fixed
+#    memory (the reference's offline regression, train.sh:378-407)
+python scripts/exps.py --save_root runs/r3_1v0_mem \
+  --base "$COMMON --max_iter 200000 --explore 10000 --snapshot_memory"
+MEM=$(ls runs/r3_1v0_mem/base_iter_*.replaymemory.npz 2>/dev/null | tail -1)
+if [ -n "$MEM" ]; then
+  python scripts/exps.py --save_root runs/r3_lr_offline \
+    --grid "critic_lr=1e-2,1e-3,1e-4" \
+    --base "--learn_offline --memory_snapshot $MEM --envs 128 \
+            --max_iter 50000 --memory 500000"
+fi
+
+# 7) beta ablation on 1v0 (the reference's beta sweeps)
+python scripts/exps.py --save_root runs/r3_beta \
+  --grid "beta=0.0,0.5,1.0" \
+  --base "$COMMON --max_iter 300000 --explore 10000"
