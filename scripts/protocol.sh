@@ -65,4 +65,4 @@ fi
 # 7) beta ablation on 1v0 (the reference's beta sweeps)
 python scripts/exps.py --save_root runs/r3_beta \
   --grid "beta=0.0,0.5,1.0" \
-  --base "$COMMON --max_iter 300000 --explore 10000"
+  --base "$COMMON --max_iter 800000 --explore 10000"
