@@ -63,6 +63,6 @@ if [ -n "$MEM" ]; then
 fi
 
 # 7) beta ablation on 1v0 (the reference's beta sweeps)
-python scripts/exps.py --save_root runs/r3_beta \
+python scripts/exps.py --save_root runs/r3_beta_seeds --repeat 2 \
   --grid "beta=0.0,0.5,1.0" \
   --base "$COMMON --max_iter 800000 --explore 10000"
