@@ -128,3 +128,39 @@ class Test2v2:
         assert int(um["updates"]) == 4
         # defense captures happen against random agents
         assert int(m["episodes"]) > 0
+
+
+class Test3v3:
+    """The agent axis generalizes past A=2 (the reference's thread model
+    allowed up to 10 player threads, dqn_main.cpp:62): 3 learning agents
+    with a shared 2-layer prefix + shared replay vs keeper + 2 chasers."""
+
+    def test_3v3_rollout_update_and_sharing(self):
+        cfg = EnvConfig(offense_agents=3, defense_npcs=3,
+                        defense_goalie=True)
+        env = HFOEnv(cfg, SP, noise_scale=1.0, npc_policy="chaser")
+        venv = VecHFOEnv(env, E)
+        assert cfg.n_players == 6 and cfg.state_size == 50 + 9 * 6
+        dcfg = DDPGConfig(state_size=cfg.state_size, memory_threshold=32)
+        mcfg = MultiConfig(n_agents=3, share_actor_layers=2,
+                           share_critic_layers=2, share_replay=True)
+        mls = init_multi_learner(jax.random.PRNGKey(0), dcfg, mcfg)
+        rs = rp.init_replay(3 * E * 256, 3 * E, dcfg.state_size)
+        cs = init_multi_collector(venv, jax.random.PRNGKey(1), K, 3)
+        roll = jax.jit(functools.partial(
+            multi_rollout_chunk, venv=venv, chunk_len=K, gamma=dcfg.gamma,
+            n_agents=3))
+        upd = jax.jit(functools.partial(
+            multi_update_n, dcfg=dcfg, mcfg=mcfg, max_updates=4))
+        for _ in range(2):
+            cs, rs, m = roll(cs, rs, mls.actor, jnp.asarray(1.0))
+            mls, um = upd(mls, rs, n_updates=4)
+        assert int(um["updates"]) == 4
+        assert m["sum_episode_return"].shape == (3,)
+        # shared prefix identical across all 3 agents after updates
+        w = np.asarray(mls.actor["tower"][0]["w"])
+        np.testing.assert_array_equal(w[0], w[1])
+        np.testing.assert_array_equal(w[1], w[2])
+        # unshared heads diverge
+        ph = np.asarray(mls.actor["param_head"]["w"])
+        assert not np.allclose(ph[0], ph[1])
