@@ -201,27 +201,53 @@ def actor_loss_fn(actor, critic, cfg: DDPGConfig, obs):
 
 
 def update_once(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
-                axis_name=None, idx=None):
+                axis_name=None, idx=None, has_data=None):
     """One actor+critic iteration from the replay. Returns
     (new LearnerState, (critic_loss, avg_q)).
 
     With `axis_name` set (data-parallel mesh), each shard samples
     cfg.minibatch transitions from its local replay shard and gradients are
-    pmean'd over the axis before Adam — the psum-of-gradients DP mapping of
-    the reference's single-GPU update (SURVEY.md §2 P5/P6).
+    averaged over the shards that hold data before Adam — the
+    psum-of-gradients DP mapping of the reference's single-GPU update
+    (SURVEY.md §2 P5/P6).
 
     `idx` (optional, (minibatch,)) supplies presampled transition indices —
     update_n hoists the replay sampling out of its scan since the buffer is
-    frozen across the whole update burst."""
+    frozen across the whole update burst.
+
+    `has_data` (optional, () bool) marks whether this shard's (or agent
+    view's) replay holds >= 1 labeled row.  The memory-threshold gate psums
+    the count so shards agree, which means a shard whose LOCAL labeled count
+    is zero can still enter the update: its sample() over an all-False mask
+    would gather unlabeled garbage.  Such a shard's gradients, loss, and
+    avg_q are zero-masked here, and the cross-shard mean divides by the
+    number of data-holding shards instead of the axis size.  The guard is
+    compiled in only on real multi-shard meshes (axis size > 1) — the
+    imbalance cannot exist on a single shard, and keeping the 1-shard
+    program untouched preserves the 1-device-mesh bitwise-equals-unsharded
+    property (any structural perturbation of the update graph shifts XLA's
+    fusion choices and with them float reduction order)."""
+    n_shards = 1 if axis_name is None else jax.lax.psum(1, axis_name)
+    if has_data is None and n_shards > 1:
+        has_data = rp.valid_count(replay) > 0
+    guarded = has_data is not None and n_shards > 1
+
     key, k_sample = jax.random.split(ls.rng)
     if idx is None:
         # distinct sample streams per shard; ls.rng stays replicated.  The
         # unsharded path folds in shard id 0 so a 1-device mesh reproduces
-        # it bitwise (tests/test_parallel.py DP-equivalence suite).
+        # it bitwise (tests/test_dp_equivalence.py).
         k_sample = jax.random.fold_in(
             k_sample,
             jax.lax.axis_index(axis_name) if axis_name is not None else 0)
         idx = rp.sample(replay, k_sample, cfg.minibatch)
+
+    def _mask(t):
+        if not guarded:
+            return t
+        return jax.tree_util.tree_map(
+            lambda g: jnp.where(has_data, g, jnp.zeros_like(g)), t)
+
     obs, action, reward, on_policy, next_obs, terminal = rp.gather(replay, idx)
 
     target = compute_targets(ls, cfg, reward, on_policy, next_obs, terminal)
@@ -230,9 +256,19 @@ def update_once(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
     closs, cgrads = jax.value_and_grad(critic_loss_fn)(
         ls.critic, cfg, obs, action, target
     )
+    cgrads = _mask(cgrads)
+    closs = _mask(closs)
     if axis_name is not None:
-        cgrads = jax.lax.pmean(cgrads, axis_name)
-        closs = jax.lax.pmean(closs, axis_name)
+        if guarded:
+            # mean over the shards that hold data, not the axis size
+            n_data = jnp.maximum(
+                jax.lax.psum(has_data.astype(F32), axis_name), 1.0)
+            cgrads = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, axis_name) / n_data, cgrads)
+            closs = jax.lax.psum(closs, axis_name) / n_data
+        else:
+            cgrads = jax.lax.pmean(cgrads, axis_name)
+            closs = jax.lax.pmean(closs, axis_name)
     c_opt = make_optimizer(cfg.critic_lr, cfg)
     c_updates, c_opt_state = c_opt.update(cgrads, ls.critic_opt, ls.critic)
     critic = optax.apply_updates(ls.critic, c_updates)
@@ -242,6 +278,7 @@ def update_once(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
     (_, q), agrads = jax.value_and_grad(actor_loss_fn, has_aux=True)(
         ls.actor, critic, cfg, obs
     )
+    agrads = _mask(agrads)
     if axis_name is not None:
         # the actor loss is a SUM over the batch (per-sample dL/dQ = -1,
         # dqn.cpp:918-921), so splitting the batch over shards needs psum —
@@ -273,13 +310,20 @@ def update_once(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
         iteration=iteration,
         rng=key,
     )
-    avg_q = jnp.mean(q)
+    avg_q = _mask(jnp.mean(q))
     if axis_name is not None:
-        avg_q = jax.lax.pmean(avg_q, axis_name)
+        if guarded:
+            avg_q = jax.lax.psum(avg_q, axis_name) / n_data
+        else:
+            avg_q = jax.lax.pmean(avg_q, axis_name)
     # Finite guard: the reference CHECKs every target and the loss finite
     # (dqn.cpp:893-906); inside jit this surfaces as a flag the host loop
-    # turns into a run-aborting error.
+    # turns into a run-aborting error.  A data-less shard's (zero-masked)
+    # garbage rows are exempt.
     finite = jnp.all(jnp.isfinite(target)) & jnp.isfinite(closs)
+    if guarded:
+        finite = (jnp.all(jnp.isfinite(target)) | ~has_data) \
+            & jnp.isfinite(closs)
     return new_ls, (closs, avg_q, finite)
 
 
@@ -289,11 +333,16 @@ def update_n(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
     episode-coupled update count: int(steps * update_ratio),
     dqn_main.cpp:358-362).  Skips entirely below memory_threshold
     (dqn.cpp:800-802)."""
-    count = rp.valid_count(replay)
+    local_count = rp.valid_count(replay)
+    count = local_count
+    n_shards = 1 if axis_name is None else jax.lax.psum(1, axis_name)
     if axis_name is not None:
         # all shards must agree on the gate or collectives would diverge
         count = jax.lax.psum(count, axis_name)
     enough = count >= cfg.memory_threshold
+    # zero-valid-shard guard (see update_once) — only a real multi-shard
+    # mesh can pass the psum'd gate with an empty local shard
+    has_data = (local_count > 0) if n_shards > 1 else None
 
     # Presample every minibatch for the burst in one pass — the replay is
     # frozen during update_n, so this is equivalent to per-iteration
@@ -312,7 +361,8 @@ def update_n(ls: LearnerState, replay: rp.ReplayState, cfg: DDPGConfig,
         do = (i < n_updates) & enough
 
         def run(s):
-            return update_once(s, replay, cfg, axis_name, idx=idx)
+            return update_once(s, replay, cfg, axis_name, idx=idx,
+                               has_data=has_data)
 
         def skip(s):
             return s, (jnp.asarray(0.0, F32), jnp.asarray(0.0, F32),

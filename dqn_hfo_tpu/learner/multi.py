@@ -230,8 +230,29 @@ def _agent_replay_view(replay: rp.ReplayState, agent: int, n_agents: int,
     return replay._replace(valid=replay.valid & mine)
 
 
+def multi_presample(replay: rp.ReplayState, dcfg: DDPGConfig,
+                    mcfg: MultiConfig, keys, n_draws: int):
+    """Per-agent presampled transition indices + data-holding flags.
+
+    One validity-mask prefix-sum per AGENT per update burst instead of one
+    per agent per scan step — the same frozen-buffer hoist ddpg.update_n
+    applies (the buffer does not change during the burst, so presampling
+    all draws up front is distributionally identical to per-iteration
+    sampling; per-update sampling semantics: dqn.cpp:846, 501-509).
+
+    Returns (idx (A, n_draws) i32, has_data (A,) bool)."""
+    A = mcfg.n_agents
+
+    def one(a, k):
+        view = _agent_replay_view(replay, a, A, mcfg.share_replay)
+        return rp.sample(view, k, n_draws), rp.valid_count(view) > 0
+
+    return jax.vmap(one)(jnp.arange(A), keys)
+
+
 def multi_update_once(mls: LearnerState, replay: rp.ReplayState,
-                      dcfg: DDPGConfig, mcfg: MultiConfig, axis_name=None):
+                      dcfg: DDPGConfig, mcfg: MultiConfig, axis_name=None,
+                      idx=None, has_data=None):
     """One iteration for every agent.
 
     Without sharing the agents are independent and run as ONE vmapped
@@ -242,16 +263,34 @@ def multi_update_once(mls: LearnerState, replay: rp.ReplayState,
     sequential unroll.
 
     `axis_name` threads the data-parallel mesh axis into each agent's
-    update (per-shard replay sampling + gradient pmean, see
+    update (per-shard replay sampling + gradient aggregation, see
     ddpg.update_once); vmap over agents composes with the mesh collective.
-    """
-    A = mcfg.n_agents
-    if mcfg.share_actor_layers == 0 and mcfg.share_critic_layers == 0:
-        def one(ls_a, a):
-            view = _agent_replay_view(replay, a, A, mcfg.share_replay)
-            return update_once(ls_a, view, dcfg, axis_name)
 
-        stacked, (closs, avg_q, finite) = jax.vmap(one)(mls, jnp.arange(A))
+    `idx` ((A, minibatch), optional) carries presampled per-agent
+    transition indices and `has_data` ((A,) bool) the per-agent-view
+    data-holding flags — multi_update_n hoists both out of its scan."""
+    A = mcfg.n_agents
+    idxs = [None] * A if idx is None else idx
+    flags = [None] * A if has_data is None else has_data
+    if mcfg.share_actor_layers == 0 and mcfg.share_critic_layers == 0:
+        if idx is None:
+            def one(ls_a, a):
+                view = _agent_replay_view(replay, a, A, mcfg.share_replay)
+                return update_once(ls_a, view, dcfg, axis_name)
+
+            stacked, (closs, avg_q, finite) = jax.vmap(one)(mls,
+                                                            jnp.arange(A))
+        elif has_data is None:
+            def one(ls_a, idx_a):
+                return update_once(ls_a, replay, dcfg, axis_name, idx=idx_a)
+
+            stacked, (closs, avg_q, finite) = jax.vmap(one)(mls, idx)
+        else:
+            def one(ls_a, idx_a, hd_a):
+                return update_once(ls_a, replay, dcfg, axis_name,
+                                   idx=idx_a, has_data=hd_a)
+
+            stacked, (closs, avg_q, finite) = jax.vmap(one)(mls, idx, flags)
         return stacked, (jnp.mean(closs), jnp.mean(avg_q), jnp.all(finite))
 
     per_agent = [jax.tree_util.tree_map(lambda x: x[a], mls)
@@ -272,8 +311,12 @@ def multi_update_once(mls: LearnerState, replay: rp.ReplayState,
                                            ls.critic_target,
                                            mcfg.share_critic_layers),
             )
-        view = _agent_replay_view(replay, a, A, mcfg.share_replay)
-        ls, m = update_once(ls, view, dcfg, axis_name)
+        if idxs[a] is None:
+            view = _agent_replay_view(replay, a, A, mcfg.share_replay)
+            ls, m = update_once(ls, view, dcfg, axis_name)
+        else:
+            ls, m = update_once(ls, replay, dcfg, axis_name,
+                                idx=idxs[a], has_data=flags[a])
         per_agent[a] = ls
         metrics.append(m)
     # propagate the final shared prefix back to every agent
@@ -303,17 +346,37 @@ def multi_update_once(mls: LearnerState, replay: rp.ReplayState,
 def multi_update_n(mls, replay, dcfg: DDPGConfig, mcfg: MultiConfig,
                    n_updates, max_updates: int, axis_name=None):
     count = rp.valid_count(replay)
+    n_shards = 1 if axis_name is None else jax.lax.psum(1, axis_name)
     if axis_name is not None:
         # all shards must agree on the gate or collectives would diverge
         count = jax.lax.psum(count, axis_name)
     enough = count >= dcfg.memory_threshold
 
-    def body(carry, i):
+    # Presample every agent's minibatches for the whole burst in one pass
+    # (multi_presample): the buffer is frozen during the burst, so this is
+    # equivalent to per-iteration sampling and removes A full-buffer
+    # prefix-sums from every scan step.
+    keys2 = jax.vmap(jax.random.split)(mls.rng)           # (A, 2, 2)
+    new_rng, k_all = keys2[:, 0], keys2[:, 1]
+    shard = (jax.lax.axis_index(axis_name) if axis_name is not None
+             else 0)  # fold in the shard id (0 unsharded), see update_once
+    k_all = jax.vmap(lambda k: jax.random.fold_in(k, shard))(k_all)
+    all_idx, has_data = multi_presample(
+        replay, dcfg, mcfg, k_all, max_updates * dcfg.minibatch)
+    all_idx = all_idx.reshape(mcfg.n_agents, max_updates, dcfg.minibatch)
+    if n_shards == 1:
+        # zero-valid-shard guard only exists on real meshes (see update_once)
+        has_data = None
+    mls = mls._replace(rng=new_rng)
+
+    def body(carry, xs):
         state = carry
+        i, idx = xs  # idx (A, minibatch)
         do = (i < n_updates) & enough
 
         def run(s):
-            return multi_update_once(s, replay, dcfg, mcfg, axis_name)
+            return multi_update_once(s, replay, dcfg, mcfg, axis_name,
+                                     idx=idx, has_data=has_data)
 
         def skip(s):
             return s, (jnp.asarray(0.0, F32), jnp.asarray(0.0, F32),
@@ -323,7 +386,9 @@ def multi_update_n(mls, replay, dcfg: DDPGConfig, mcfg: MultiConfig,
         return state, m + (do,)
 
     mls, (losses, qs, finites, dids) = jax.lax.scan(
-        body, mls, jnp.arange(max_updates, dtype=jnp.int32))
+        body, mls,
+        (jnp.arange(max_updates, dtype=jnp.int32),
+         jnp.swapaxes(all_idx, 0, 1)))
     n_done = jnp.sum(dids.astype(jnp.int32))
     denom = jnp.maximum(n_done, 1)
     return mls, {

@@ -134,6 +134,12 @@ class Trainer:
         n_dev = jax.device_count()  # global: spans hosts under jax.distributed
         if cfg.mesh_devices > 0:
             n_mesh = cfg.mesh_devices
+        elif cfg.benchmark or cfg.learn_offline:
+            # single-device modes (DQN::Benchmark / learn_offline are
+            # sequential-update measurements, dqn.cpp:487-498,
+            # dqn_main.cpp:340-349): never auto-engage the DP mesh — an
+            # explicit --mesh_devices > 1 still aborts in those modes.
+            n_mesh = 1
         elif (n_dev > 1 and cfg.envs % n_dev == 0
               and self.dcfg.minibatch % n_dev == 0):
             n_mesh = n_dev

@@ -229,3 +229,99 @@ class TestReplaySnapshotPortability:
         back = dp.shard_replay(host)
         np.testing.assert_array_equal(np.asarray(back.obs),
                                       np.asarray(rs.obs))
+
+
+class TestZeroValidShardGuard:
+    """A shard whose LOCAL replay has no labeled rows can still pass the
+    psum'd memory-threshold gate (update_n/multi_update_n psum the count so
+    shards agree).  Its sample() then searches an all-zero cumsum and
+    gathers garbage rows; the guard must zero that shard's contribution and
+    average over the data-holding shards only."""
+
+    def _empty_shard_replay(self, key, n_shards, E_local, poison=np.nan):
+        """Shards 1..n-1 valid; shard 0 has valid=False everywhere and its
+        buffers poisoned so any leak through sampling is loudly non-finite."""
+        E = n_shards * E_local
+        rs = synth_replay(key, E=E)
+        col = np.arange(E)
+        empty = col < E_local  # shard 0's columns
+        valid = np.array(rs.valid)
+        valid[:, empty] = False
+        poison_arr = lambda x: jnp.asarray(
+            np.where(empty[None, :, None] if x.ndim == 3 else empty[None, :],
+                     poison, np.asarray(x)), jnp.float32)
+        return rs._replace(
+            obs=poison_arr(rs.obs), action=poison_arr(rs.action),
+            reward=poison_arr(rs.reward), target=poison_arr(rs.target),
+            next_obs=poison_arr(rs.next_obs), valid=jnp.asarray(valid))
+
+    def test_empty_shard_contributes_nothing(self):
+        """2 shards, shard 0 empty+poisoned: the DP update must equal the
+        single-device update on shard 1's batch alone (mean over ONE
+        data-holding shard, not /2), and stay finite."""
+        n_shards, E_local, B = 2, 4, 16
+        E = n_shards * E_local
+        cfg = small_cfg(minibatch=B, memory_threshold=1)
+        ls = init_learner(jax.random.PRNGKey(6), cfg)
+        rs = self._empty_shard_replay(jax.random.PRNGKey(7), n_shards,
+                                      E_local)
+        S1 = rs.obs.shape[0]
+
+        rng = np.random.RandomState(11)
+        rows = rng.randint(0, 24, size=B)
+        e_local = rng.randint(0, E_local, size=B)
+        # shard 1's local flat indices; shard 0 gets arbitrary (poisoned)
+        # indices it must ignore
+        idx_data = (rows * E_local + e_local).astype(np.int32)
+        idx_garbage = np.zeros(B, np.int32)
+        idx_stacked = np.concatenate([idx_garbage, idx_data])
+        # the same transitions in the global buffer (shard 1's columns)
+        idx_global = (rows * E + (E_local + e_local)).astype(np.int32)
+
+        # single-device reference: only shard 1's transitions
+        ref_ls, (ref_loss, ref_q, ref_fin) = jax.jit(
+            lambda ls, rs, idx: update_once(ls, rs, cfg, idx=idx))(
+                ls, rs, jnp.asarray(idx_global))
+
+        mesh = Mesh(np.array(jax.devices()[:n_shards]), ("data",))
+        fn = shard_map(
+            lambda ls, rs, idx: update_once(
+                ls, rs, cfg, axis_name="data", idx=idx,
+                has_data=rp.valid_count(rs) > 0),
+            mesh=mesh, in_specs=(P(), replay_specs(), P("data")),
+            out_specs=(P(), P()), check_vma=False)
+        dp_ls, (dp_loss, dp_q, dp_fin) = jax.jit(fn)(
+            ls, rs, jnp.asarray(idx_stacked))
+
+        assert bool(dp_fin), "finite flag must exempt the empty shard"
+        for leaf in jax.tree_util.tree_leaves(dp_ls):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+        close = functools.partial(np.testing.assert_allclose,
+                                  rtol=2e-5, atol=1e-6)
+        tree_assert(close, ref_ls.actor, dp_ls.actor)
+        tree_assert(close, ref_ls.critic, dp_ls.critic)
+        np.testing.assert_allclose(np.asarray(dp_loss),
+                                   np.asarray(ref_loss), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dp_q),
+                                   np.asarray(ref_q), rtol=1e-5)
+
+    def test_update_n_gate_passes_with_empty_shard(self):
+        """End-to-end through update_n on a 2-shard mesh: the psum'd gate
+        passes on the total count while shard 0 is empty; the burst must
+        run all its updates and stay finite."""
+        n_shards, E_local = 2, 4
+        cfg = small_cfg(minibatch=8, memory_threshold=8)
+        ls = init_learner(jax.random.PRNGKey(8), cfg)
+        rs = self._empty_shard_replay(jax.random.PRNGKey(9), n_shards,
+                                      E_local)
+        mesh = Mesh(np.array(jax.devices()[:n_shards]), ("data",))
+        fn = shard_map(
+            lambda ls, rs, n: update_n(ls, rs, cfg, n[0], 3,
+                                       axis_name="data"),
+            mesh=mesh, in_specs=(P(), replay_specs(), P()),
+            out_specs=(P(), P()), check_vma=False)
+        dp_ls, dp_m = jax.jit(fn)(ls, rs, jnp.asarray([3], jnp.int32))
+        assert int(dp_m["updates"]) == 3
+        assert bool(dp_m["finite"])
+        for leaf in jax.tree_util.tree_leaves(dp_ls):
+            assert np.all(np.isfinite(np.asarray(leaf)))

@@ -164,3 +164,63 @@ class Test3v3:
         # unshared heads diverge
         ph = np.asarray(mls.actor["param_head"]["w"])
         assert not np.allclose(ph[0], ph[1])
+
+
+class TestPresampledMultiUpdate:
+    """multi_update_n hoists per-agent replay sampling out of its scan
+    (multi_presample: one validity prefix-sum per agent per burst — the
+    frozen-buffer hoist of ddpg.update_n, reference per-update sampling
+    semantics dqn.cpp:846,501-509)."""
+
+    def _filled_replay(self, seed=0):
+        mls, rs, cs, roll, _ = setup(seed=seed)
+        for _ in range(3):
+            cs, rs, m = roll(cs, rs, mls.actor, jnp.asarray(1.0))
+        return rs
+
+    def test_presample_respects_agent_views(self):
+        """Unshared: agent a's presampled flat indices must all fall in its
+        own column block of the (S+1, A*E) buffer."""
+        from dqn_hfo_tpu.learner.multi import multi_presample
+        rs = self._filled_replay()
+        dcfg = DDPGConfig(state_size=59, memory_threshold=32)
+        mcfg = MultiConfig(n_agents=A, share_replay=False)
+        keys = jax.random.split(jax.random.PRNGKey(3), A)
+        idx, has_data = jax.jit(
+            lambda rs, keys: multi_presample(rs, dcfg, mcfg, keys, 256))(
+                rs, keys)
+        assert bool(np.all(np.asarray(has_data)))
+        cols = np.asarray(idx) % (A * E)   # flat index -> column
+        for a in range(A):
+            assert np.all((cols[a] >= a * E) & (cols[a] < (a + 1) * E)), \
+                f"agent {a} sampled outside its block"
+
+    def test_identical_agents_stay_identical_without_sharing(self):
+        """Two agents with identical params/rng and identical (unshared)
+        replay blocks must produce bitwise-identical updates — pins that
+        presampled indices are drawn consistently per agent VIEW (the k-th
+        valid entry of each block), not from the global buffer."""
+        rs = self._filled_replay()
+        # duplicate agent 0's columns into agent 1's block
+        def dup(x):
+            x = np.array(x)
+            x[:, E:2 * E] = x[:, :E]
+            return jnp.asarray(x)
+        rs = rp.ReplayState(**{k: (dup(v) if k != "cursor" else v)
+                               for k, v in rs._asdict().items()})
+        dcfg = DDPGConfig(state_size=rs.obs.shape[-1], memory_threshold=32)
+        mcfg = MultiConfig(n_agents=A, share_replay=False)
+        from dqn_hfo_tpu.learner.multi import (init_multi_learner,
+                                               multi_update_n)
+        mls = init_multi_learner(jax.random.PRNGKey(5), dcfg, mcfg)
+        # clone agent 0's full learner slice (params, opt, rng) into agent 1
+        mls = jax.tree_util.tree_map(
+            lambda x: x.at[1].set(x[0]), mls)
+        mls, um = jax.jit(functools.partial(
+            multi_update_n, dcfg=dcfg, mcfg=mcfg, max_updates=3))(
+                mls, rs, n_updates=3)
+        assert int(um["updates"]) == 3
+        for leaf in jax.tree_util.tree_leaves(
+                (mls.actor, mls.critic, mls.actor_opt, mls.critic_opt)):
+            x = np.asarray(leaf)
+            np.testing.assert_array_equal(x[0], x[1])
