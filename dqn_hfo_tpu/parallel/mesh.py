@@ -286,7 +286,12 @@ class DataParallel:
 
     def shard_replay(self, rs_host: rp.ReplayState) -> rp.ReplayState:
         """Place a canonical (host/unsharded) replay onto the mesh in the
-        shard-major column layout the DP programs expect."""
+        shard-major column layout the DP programs expect.
+
+        Uses make_array_from_callback so it also works under
+        jax.distributed: every process holds the full canonical host copy
+        (loaded from the snapshot set) and contributes only its
+        addressable shards' columns."""
         import numpy as np
         A, n, Es = self.n_agents, self.n_shards, self.env_per_shard
 
@@ -306,6 +311,52 @@ class DataParallel:
         out = {}
         for k, v in d.items():
             v = unperm(v) if k != "cursor" else np.asarray(v)
-            out[k] = jax.device_put(
-                jnp.asarray(v), NamedSharding(self.mesh, specs[k]))
+            sharding = NamedSharding(self.mesh, specs[k])
+            out[k] = jax.make_array_from_callback(
+                v.shape, sharding, lambda idx, v=v: v[idx])
         return rp.ReplayState(**out)
+
+    def canonical_col_ids(self, global_cols) -> "np.ndarray":
+        """Map shard-major global column indices -> canonical agent-major
+        column ids (col = a*E_global + shard*E_shard + e) — the snapshot
+        column order canonical_replay produces."""
+        import numpy as np
+        A, n, Es = self.n_agents, self.n_shards, self.env_per_shard
+        g = np.asarray(global_cols)
+        s, within = g // (A * Es), g % (A * Es)
+        a, e = within // Es, within % Es
+        return a * (n * Es) + s * Es + e
+
+    def local_replay_shards(self, rs: rp.ReplayState) -> dict:
+        """This process's addressable replay columns + their canonical
+        column ids — the per-process payload of a multi-host replay
+        snapshot (written without ever gathering the buffer to one host;
+        reference role: replay always checkpointed, dqn.cpp:1146-1226).
+        """
+        import numpy as np
+        leaves = {}
+        col_ids = None
+        for k, v in rs._asdict().items():
+            if k == "cursor":
+                leaves[k] = np.asarray(v)
+                continue
+            shards = sorted(v.addressable_shards,
+                            key=lambda s: s.index[1].start or 0)
+            cols = []
+            ids = []
+            for s in shards:
+                sl = s.index[1]
+                start = 0 if sl.start is None else sl.start
+                stop = v.shape[1] if sl.stop is None else sl.stop
+                ids.append(np.arange(start, stop))
+                cols.append(np.asarray(s.data))
+            leaves[k] = np.concatenate(cols, axis=1)
+            ids = self.canonical_col_ids(np.concatenate(ids))
+            if col_ids is None:
+                col_ids = ids
+            else:
+                assert np.array_equal(col_ids, ids)
+        leaves["col_ids"] = col_ids
+        leaves["n_cols_global"] = np.asarray(
+            self.n_agents * self.n_shards * self.env_per_shard)
+        return leaves

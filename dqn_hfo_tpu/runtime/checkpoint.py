@@ -79,10 +79,68 @@ def snapshot(prefix: str, ls: LearnerState, replay: Optional[rp.ReplayState],
     return paths
 
 
+def snapshot_replay_shards(prefix: str, it: int, payload: dict,
+                           process_index: int, process_count: int) -> str:
+    """Write ONE process's replay columns as a shard file of a multi-host
+    snapshot set: {prefix}_iter_N.replaymemory.shardP-of-C.npz.
+
+    `payload` comes from DataParallel.local_replay_shards — the process's
+    addressable columns keyed by replay field, plus their canonical column
+    ids — so the set as a whole is the canonical agent-major snapshot
+    (reference role: the replay is always part of the snapshot triple,
+    dqn.cpp:1146-1226) without any cross-host gather."""
+    path = (f"{prefix}_iter_{it}.replaymemory"
+            f".shard{process_index:03d}-of-{process_count:03d}.npz")
+    np.savez(path, **payload)
+    return path
+
+
+def load_sharded_replay(base: str) -> rp.ReplayState:
+    """Assemble the canonical host replay from a complete shard set.
+
+    `base` is the set's common stem: {prefix}_iter_N.replaymemory (the
+    virtual path find_latest_snapshot returns when it finds shard files).
+    Every shard file scatters its columns at its canonical column ids, so
+    the result is identical to the single-file canonical snapshot and can
+    be re-sharded onto any topology via DataParallel.shard_replay."""
+    files = sorted(glob.glob(base + ".shard*-of-*.npz"))
+    if not files:
+        raise FileNotFoundError(f"no replay shard files at {base}.shard*")
+    m = re.search(r"\.shard\d+-of-(\d+)\.npz$", files[0])
+    want = int(m.group(1))
+    if len(files) != want:
+        raise FileNotFoundError(
+            f"incomplete replay shard set at {base}: "
+            f"{len(files)}/{want} files")
+    out = None
+    covered = None
+    for f in files:
+        d = np.load(f)
+        ids = d["col_ids"]
+        n_cols = int(d["n_cols_global"])
+        if out is None:
+            out = {}
+            covered = np.zeros(n_cols, bool)
+            for k in d.files:
+                if k in ("col_ids", "n_cols_global", "cursor"):
+                    continue
+                a = d[k]
+                out[k] = np.zeros((a.shape[0], n_cols) + a.shape[2:],
+                                  a.dtype)
+        covered[ids] = True
+        for k in out:
+            out[k][:, ids] = d[k]
+        cursor = d["cursor"]
+    assert covered is not None and covered.all(), \
+        f"replay shard set {base} does not cover all columns"
+    out["cursor"] = cursor
+    return rp.ReplayState(**{k: jnp.asarray(v) for k, v in out.items()})
+
+
 _PATTERNS = {
     "actor": r"_actor_iter_(\d+)\.npz$",
     "critic": r"_critic_iter_(\d+)\.npz$",
-    "memory": r"_iter_(\d+)\.replaymemory\.npz$",
+    "memory": r"_iter_(\d+)\.replaymemory(\.shard\d+-of-\d+)?\.npz$",
 }
 
 
@@ -101,15 +159,22 @@ def _find_greatest_iter(prefix: str, pattern: str) -> int:
 
 def find_latest_snapshot(prefix: str) -> Tuple[str, str, str]:
     """Newest (actor, critic, memory) snapshot paths ('' if absent),
-    mirroring FindLatestSnapshot (dqn.cpp:122-144)."""
+    mirroring FindLatestSnapshot (dqn.cpp:122-144).
+
+    The memory entry is either a single-file snapshot path
+    (...replaymemory.npz) or — for a multi-host shard set — the set's stem
+    (...replaymemory, no extension), which load_sharded_replay consumes."""
     out = []
     for kind, pat in _PATTERNS.items():
         it = _find_greatest_iter(prefix, pat)
         if it > 0:
-            mid = "_actor" if kind == "actor" else (
-                "_critic" if kind == "critic" else "")
-            suffix = ".replaymemory.npz" if kind == "memory" else ".npz"
-            out.append(f"{prefix}{mid}_iter_{it}{suffix}")
+            if kind == "memory":
+                single = f"{prefix}_iter_{it}.replaymemory.npz"
+                stem = f"{prefix}_iter_{it}.replaymemory"
+                out.append(single if os.path.exists(single) else stem)
+            else:
+                mid = "_actor" if kind == "actor" else "_critic"
+                out.append(f"{prefix}{mid}_iter_{it}.npz")
         else:
             out.append("")
     return tuple(out)

@@ -83,7 +83,11 @@ def make_server_params(cfg: RunConfig) -> ServerParams:
 class Trainer:
     def __init__(self, cfg: RunConfig):
         self.cfg = cfg
-        self.log = MetricsLogger(cfg.save)
+        # Multi-host: only the coordinator writes the metrics jsonl (all
+        # processes share cfg.save on a common filesystem; N writers would
+        # interleave/clobber).  Console lines still print everywhere.
+        self.log = MetricsLogger(
+            cfg.save if jax.process_index() == 0 else "")
         env_cfg = make_env_config(cfg)
         sp = make_server_params(cfg)
         self.env = HFOEnv(env_cfg, sp, noise_scale=cfg.noise_scale,
@@ -146,6 +150,11 @@ class Trainer:
         else:
             n_mesh = 1
         self.use_dp = n_mesh > 1
+        if jax.process_count() > 1:
+            self.log.info(
+                f"jax.distributed: process_count = {jax.process_count()}, "
+                f"process_index = {jax.process_index()}, "
+                f"global devices = {n_dev}")
         if self.use_dp:
             self.log.info(f"Data-parallel mesh over {n_mesh} devices")
         self.dp = None
@@ -271,6 +280,25 @@ class Trainer:
         return int(_np.max(_np.asarray(self.learner.iteration)))
 
     # ------------------------------------------------------------------ util
+    def _load_replay_any(self, path: str):
+        """Dispatch a replay snapshot path to its loader: our npz, the
+        reference's gzip .replaymemory byte format, or a multi-host shard
+        set (the stem find_latest_snapshot returns when shard files
+        exist)."""
+        import os
+        if path.endswith(".replaymemory"):
+            if os.path.exists(path):
+                # reference-format gzip snapshot (dqn.cpp:1180-1226)
+                from dqn_hfo_tpu.runtime.replay_io import \
+                    load_reference_replay
+                return load_reference_replay(
+                    path, self.state_size,
+                    n_envs=self.n_agents * self.cfg.envs,
+                    capacity=self.cfg.memory,
+                    action_dim=self.space.output_size)
+            return ckpt.load_sharded_replay(path)
+        return ckpt.load_replay(path)
+
     def _maybe_resume(self):
         cfg = self.cfg
         if not (cfg.save or cfg.resume or cfg.actor_snapshot or
@@ -308,7 +336,8 @@ class Trainer:
                 self.log.info(
                     f"Restored per-agent learners at iter {self._iter()}")
             if mem_p or cfg.memory_snapshot:
-                self.replay = ckpt.load_replay(mem_p or cfg.memory_snapshot)
+                self.replay = self._load_replay_any(
+                    mem_p or cfg.memory_snapshot)
                 self._replay_from_host = True
                 self.log.info(
                     f"replay_mem_size = {int(rp.valid_count(self.replay))}")
@@ -326,15 +355,7 @@ class Trainer:
             )
             self.log.info(f"Restored learner at iter {self._iter()}")
         if mem_p:
-            if mem_p.endswith(".replaymemory"):
-                # reference-format gzip snapshot (dqn.cpp:1180-1226)
-                from dqn_hfo_tpu.runtime.replay_io import load_reference_replay
-                self.replay = load_reference_replay(
-                    mem_p, self.state_size,
-                    n_envs=self.n_agents * cfg.envs, capacity=cfg.memory,
-                    action_dim=self.space.output_size)
-            else:
-                self.replay = ckpt.load_replay(mem_p)
+            self.replay = self._load_replay_any(mem_p)
             self._replay_from_host = True
             self.log.info(
                 f"replay_mem_size = {int(rp.valid_count(self.replay))}")
@@ -346,22 +367,38 @@ class Trainer:
         cfg = self.cfg
         if not cfg.save:
             return
+        snap_mem = (cfg.snapshot_memory if snapshot_memory is None
+                    else snapshot_memory)
+        rm_old = (cfg.remove_old_snapshots if remove_old is None
+                  else remove_old)
+        if self.use_dp and jax.process_count() > 1:
+            # Multi-host: each process writes its addressable replay
+            # columns as one shard file (no cross-host gather); the
+            # coordinator alone writes the learner files and GCs old
+            # snapshots.  The reference always snapshots the replay
+            # (dqn.cpp:1146-1226); the shard set is its multi-host form.
+            it = self._iter()
+            if snap_mem:
+                payload = self.dp.local_replay_shards(self.replay)
+                ckpt.snapshot_replay_shards(
+                    prefix or cfg.save, it, payload,
+                    jax.process_index(), jax.process_count())
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("snapshot_shards_written")
+            if jax.process_index() == 0:
+                paths = ckpt.snapshot(
+                    prefix or cfg.save, self.learner, None,
+                    snapshot_memory=False, remove_old=rm_old)
+                self.log.info(f"Snapshotting Finished! ({paths[0]})")
+            return
         replay = self.replay
         if self.use_dp:
-            if jax.process_count() > 1:
-                # multi-host: the sharded replay is not host-addressable from
-                # one process; snapshot nets only (resume refills the buffer)
-                self.log.info("Multi-host run: skipping replay snapshot")
-                replay = None
-            else:
-                replay = self.dp.canonical_replay(self.replay)
+            replay = self.dp.canonical_replay(self.replay)
         paths = ckpt.snapshot(
             prefix or cfg.save, self.learner,
             replay,
-            snapshot_memory=(cfg.snapshot_memory if snapshot_memory is None
-                             else snapshot_memory),
-            remove_old=(cfg.remove_old_snapshots if remove_old is None
-                        else remove_old),
+            snapshot_memory=snap_mem,
+            remove_old=rm_old,
         )
         self.log.info(f"Snapshotting Finished! ({paths[0]})")
 
@@ -471,7 +508,8 @@ class Trainer:
                         f"New High Score: {score}, actor_iter = {it}, "
                         f"critic_iter = {it}")
                     self.best_score = score
-                    ckpt.remove_files_matching(cfg.save + r"_HiScore.*")
+                    if jax.process_index() == 0:
+                        ckpt.remove_files_matching(cfg.save + r"_HiScore.*")
                     self._snapshot(prefix=f"{cfg.save}_HiScore{score}",
                                    remove_old=False, snapshot_memory=False)
                 last_eval_iter = it
