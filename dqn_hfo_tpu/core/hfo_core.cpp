@@ -457,19 +457,24 @@ void core_observe(const CoreParams* pp, const CoreGameConfig* cfgp,
   out[k++] = -1.0f;
   out[k++] = flagf(kickable);
 
+  // 13-45: the 11 landmarks of HFO's published low-level set (manual
+  // order; mirror of features.py landmarks())
   float hl = p.pitch_length * 0.5f, hw = p.pitch_width * 0.5f;
-  const float lm[9][2] = {
-      {hl, 0.0f},
-      {hl, -p.goal_width * 0.5f},
-      {hl, p.goal_width * 0.5f},
-      {hl - p.penalty_area_length, 0.0f},
-      {hl * 0.5f, 0.0f},
-      {0.0f, -hw},
-      {hl, -hw},
-      {hl, hw},
-      {0.0f, hw},
+  float pbx = hl - p.penalty_area_length, pbw = p.penalty_area_width;
+  const float lm[11][2] = {
+      {hl, 0.0f},                    // goal center
+      {hl, -p.goal_width * 0.5f},    // goal post top
+      {hl, p.goal_width * 0.5f},     // goal post bottom
+      {pbx, 0.0f},                   // penalty box center
+      {pbx, -pbw * 0.5f},            // penalty box top
+      {pbx, pbw * 0.5f},             // penalty box bottom
+      {0.0f, 0.0f},                  // center field
+      {0.0f, -hw},                   // corner top left
+      {hl, -hw},                     // corner top right
+      {hl, hw},                      // corner bottom right
+      {0.0f, hw},                    // corner bottom left
   };
-  for (int j = 0; j < 9; ++j) {
+  for (int j = 0; j < 11; ++j) {
     float dx = lm[j][0] - px, dy = lm[j][1] - py;
     float d = std::sqrt(dx * dx + dy * dy);
     float ang = normalize_angle(std::atan2(dy, dx) - body);
@@ -478,17 +483,11 @@ void core_observe(const CoreParams* pp, const CoreGameConfig* cfgp,
     out[k++] = prox(p, d);
   }
 
+  // 46-49: OOB distances (left, right, top, bottom)
   out[k++] = -1.0f + 2.0f * clampf(px / hl, 0.0f, 1.0f);
   out[k++] = -1.0f + 2.0f * clampf((hl - px) / hl, 0.0f, 1.0f);
   out[k++] = -1.0f + 2.0f * clampf((py + hw) / (2.0f * hw), 0.0f, 1.0f);
   out[k++] = -1.0f + 2.0f * clampf((hw - py) / (2.0f * hw), 0.0f, 1.0f);
-
-  out[k++] = -1.0f + 2.0f * static_cast<float>(st->t) / p.frames_per_trial;
-  out[k++] = -1.0f + 2.0f * static_cast<float>(st->untouched) / p.untouched_time;
-  out[k++] = clampf(2.0f * px / hl - 1.0f, -1.0f, 1.0f);
-  out[k++] = clampf(py / hw, -1.0f, 1.0f);
-  out[k++] = -1.0f + 2.0f * unum_of(cfg, a) / 11.0f;
-  out[k++] = 1.0f;
 
   float ball_ang = normalize_angle(std::atan2(bry, brx) - body);
   float bsp = std::sqrt(st->ball_vel[0] * st->ball_vel[0] +
@@ -519,15 +518,16 @@ void core_observe(const CoreParams* pp, const CoreGameConfig* cfgp,
       float ang = normalize_angle(std::atan2(dy, dx) - body);
       float osp = std::sqrt(o[2] * o[2] + o[3] * o[3]);
       float ova = normalize_angle(std::atan2(o[3], o[2]) - body);
+      float orel_body = normalize_angle(o[4] - body);
       out[k++] = std::sin(ang);
       out[k++] = std::cos(ang);
       out[k++] = prox(p, d);
+      out[k++] = std::sin(orel_body);
+      out[k++] = std::cos(orel_body);
+      out[k++] = -1.0f + 2.0f * std::min(osp, p.player_speed_max) / p.player_speed_max;
       out[k++] = std::sin(ova);
       out[k++] = std::cos(ova);
-      out[k++] = -1.0f + 2.0f * std::min(osp, p.player_speed_max) / p.player_speed_max;
-      out[k++] = std::sin(o[4]);
-      out[k++] = std::cos(o[4]);
-      out[k++] = -1.0f + 2.0f * unum_of(cfg, order[j]) / 11.0f;
+      out[k++] = static_cast<float>(unum_of(cfg, order[j]));  // raw (HFO quirk)
     }
   }
 }

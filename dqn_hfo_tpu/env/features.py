@@ -1,63 +1,67 @@
-"""Low-level state feature encoder (the HFO LOW_LEVEL_FEATURE_SET analogue).
+"""Low-level state feature encoder (the HFO LOW_LEVEL_FEATURE_SET).
 
 The reference requests LOW_LEVEL_FEATURE_SET from the HFO client library
 (/root/reference/src/hfo_game.cpp:70) and sizes its nets with
 NumStateFeatures = 50 + 9*num_players (/root/reference/src/hfo_game.hpp:14-16).
-The reward shaping depends on exact feature indices
-(/root/reference/src/hfo_game.cpp:131-152):
+This encoder reproduces HFO's published low-level feature ordering
+(LARG/HFO doc/manual.pdf "Low Level State Feature List" +
+src/lowlevel_feature_extractor.cpp), pinned by tests/test_features.py:
 
-  [12]    kickable flag
-  [13-15] goal-center angle sin/cos + proximity
-  [51-53] ball angle sin/cos + proximity
-  [54]    ball-velocity valid
-  [55]    ball-velocity magnitude
+   0      Self_Pos_Valid (+1 here: the in-graph simulator is fullstate)
+   1      Self_Vel_Valid
+   2,3    Self_Vel_Ang (sin, cos; body-relative)
+   4      Self_Vel_Mag (normalized by player_speed_max)
+   5,6    Self_Ang (sin, cos; global body angle)
+   7      Stamina (normalized)
+   8      Frozen flag
+   9      Colliding_with_ball
+   10     Colliding_with_player
+   11     Colliding_with_post (posts unmodelled: always -1)
+   12     Kickable
+   13-45  11 landmarks x (ang sin, ang cos, proximity), order:
+          Goal Center, Goal Post Top, Goal Post Bottom,
+          Penalty Box Center, Penalty Box Top, Penalty Box Bottom,
+          Center Field, Corner Top Left, Corner Top Right,
+          Corner Bottom Right, Corner Bottom Left
+   46     OOB Left Dist      (proximity to the x=0 mid line)
+   47     OOB Right Dist     (proximity to the end line)
+   48     OOB Top Dist
+   49     OOB Bottom Dist
+   50     Ball Pos Valid
+   51,52  Ball Ang (sin, cos; body-relative)
+   53     Ball Dist (proximity)
+   54     Ball Vel Valid
+   55     Ball Vel Mag (normalized by ball_speed_max)
+   56,57  Ball Vel Ang (sin, cos; body-relative)
+   58     Last_Action_Success_Possible (+1: in-graph actions always apply)
+   59+9k  per other player (teammates first, then opponents):
+          ang sin, ang cos, proximity, body ang sin, body ang cos
+          (body-relative), vel mag, vel ang sin, vel ang cos (body-
+          relative), uniform number — 9 features each.  Following HFO,
+          the uniform-number feature is NOT normalized (raw 1-11), the
+          one documented out-of-[-1,1] feature.
 
-This encoder pins those indices exactly.  Layout for observer agent `a`
-(all features in [-1, 1]; angles body-relative as (sin, cos); proximity
- = 1 - 2*dist/max_hfo_dist):
+Total = 59 + 9*(P-1) = 50 + 9P, matching NumStateFeatures.  The
+reward-shaping consumes exactly indices 12-15 and 51-55
+(hfo_game.cpp:131-152), which this layout pins bit-for-bit.
 
-   0      self position valid (+1 under fullstate)
-   1      self velocity valid
-   2,3    self velocity angle (rel. body)
-   4      self speed, normalized by player_speed_max
-   5,6    self body angle (absolute)
-   7      stamina, normalized
-   8      frozen flag
-   9      colliding-with-ball
-   10     colliding-with-player
-   11     colliding-with-post (posts unmodelled: always -1)
-   12     kickable
-   13-39  9 landmarks x (ang sin, ang cos, prox): goal center, goal post top,
-          goal post bottom, penalty-box center, half-field center, and the
-          four corners of the HFO play region
-   40-43  normalized distance to OOB lines: left, right, top, bottom
-   44     trial time remaining (normalized)
-   45     untouched-time counter (normalized)
-   46,47  self absolute position (normalized; available under --fullstate)
-   48     self uniform number (normalized)
-   49     reserved (+1)
-   50     ball position valid
-   51,52  ball angle (rel. body)
-   53     ball proximity
-   54     ball velocity valid
-   55     ball speed, normalized by ball_speed_max
-   56,57  ball velocity angle (rel. body)
-   58     last-action-success-possible (+1)
-   59+9k  per other player (teammates first, then opponents): ang sin,
-          ang cos, prox, vel ang sin, vel ang cos, speed, body sin,
-          body cos, unum — 9 features each
-
-Total = 59 + 9*(P-1) = 50 + 9P, matching NumStateFeatures.
+Reconstruction confidence (vs the real HFO client, unreachable here):
+the base 0-58 index map and the 11-landmark order are the manual's
+published table; the Center Field landmark is taken as the pitch center
+mark (0,0) and the OOB proximities as linear clip-normalized distances
+to the HFO play-region edges — both plausible but unverified details;
+the per-player 9-tuple follows FeatureExtractor::addPlayerFeatures
+(landmark triple, relative body angle pair, velocity magnitude +
+relative direction) with the appended unum.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from dqn_hfo_tpu import constants as C
 from dqn_hfo_tpu.constants import ServerParams
 from dqn_hfo_tpu.env.physics import normalize_angle
-from dqn_hfo_tpu.env.state import EnvConfig, EnvState, side_array, unum_array
+from dqn_hfo_tpu.env.state import EnvConfig, EnvState, unum_array
 
 F32 = jnp.float32
 
@@ -79,19 +83,23 @@ def _rel_angle_feats(body, target_pos, self_pos):
 
 
 def landmarks(sp: ServerParams):
-    """The 9 landmark positions, (9, 2)."""
+    """The 11 landmark positions, (11, 2), in HFO's published order."""
     hl, hw, gw = sp.half_length, sp.half_width, sp.goal_width
+    pbx = hl - sp.penalty_area_length     # penalty box front line
+    pbw = sp.penalty_area_width
     return jnp.asarray(
         [
-            [hl, 0.0],                        # goal center
-            [hl, -gw / 2.0],                  # goal post top
-            [hl, gw / 2.0],                   # goal post bottom
-            [hl - sp.penalty_area_length, 0.0],  # penalty box center
-            [hl / 2.0, 0.0],                  # half-field center
-            [0.0, -hw],                       # corner TL
-            [hl, -hw],                        # corner TR
-            [hl, hw],                         # corner BR
-            [0.0, hw],                        # corner BL
+            [hl, 0.0],            # goal center
+            [hl, -gw / 2.0],      # goal post top
+            [hl, gw / 2.0],       # goal post bottom
+            [pbx, 0.0],           # penalty box center
+            [pbx, -pbw / 2.0],    # penalty box top
+            [pbx, pbw / 2.0],     # penalty box bottom
+            [0.0, 0.0],           # center field (pitch center mark)
+            [0.0, -hw],           # corner top left
+            [hl, -hw],            # corner top right
+            [hl, hw],             # corner bottom right
+            [0.0, hw],            # corner bottom left
         ],
         F32,
     )
@@ -106,7 +114,6 @@ def observe(sp: ServerParams, cfg: EnvConfig, state: EnvState, agent_idx: int):
     body = state.p_body[a]
     speed = jnp.sqrt(jnp.sum(vel * vel))
     vel_ang = normalize_angle(jnp.arctan2(vel[1], vel[0]) - body)
-    sides = side_array(cfg)
     unums = unum_array(cfg)
 
     ball_rel = state.ball_pos - pos
@@ -131,29 +138,17 @@ def observe(sp: ServerParams, cfg: EnvConfig, state: EnvState, agent_idx: int):
         _flag(kickable),                             # 12
     ]
 
-    lm = landmarks(sp)                               # (9, 2)
+    lm = landmarks(sp)                               # (11, 2)
     s, c, d = _rel_angle_feats(body, lm, pos[None, :])
-    lm_feats = jnp.stack([s, c, _prox(sp, d)], axis=-1).reshape(-1)  # (27,)
+    lm_feats = jnp.stack([s, c, _prox(sp, d)], axis=-1).reshape(-1)  # (33,)
 
     hl, hw = sp.half_length, sp.half_width
     oob = jnp.asarray(
         [
-            -1.0 + 2.0 * jnp.clip(pos[0] / hl, 0.0, 1.0),          # 40 left
-            -1.0 + 2.0 * jnp.clip((hl - pos[0]) / hl, 0.0, 1.0),   # 41 right
-            -1.0 + 2.0 * jnp.clip((pos[1] + hw) / (2 * hw), 0.0, 1.0),  # 42 top
-            -1.0 + 2.0 * jnp.clip((hw - pos[1]) / (2 * hw), 0.0, 1.0),  # 43 bottom
-        ],
-        F32,
-    )
-
-    misc = jnp.asarray(
-        [
-            -1.0 + 2.0 * state.t / sp.frames_per_trial,            # 44
-            -1.0 + 2.0 * state.untouched / sp.untouched_time,      # 45
-            jnp.clip(2.0 * pos[0] / hl - 1.0, -1.0, 1.0),          # 46
-            jnp.clip(pos[1] / hw, -1.0, 1.0),                      # 47
-            -1.0 + 2.0 * unums[a] / 11.0,                          # 48
-            1.0,                                                   # 49 reserved
+            -1.0 + 2.0 * jnp.clip(pos[0] / hl, 0.0, 1.0),          # 46 left
+            -1.0 + 2.0 * jnp.clip((hl - pos[0]) / hl, 0.0, 1.0),   # 47 right
+            -1.0 + 2.0 * jnp.clip((pos[1] + hw) / (2 * hw), 0.0, 1.0),  # 48 top
+            -1.0 + 2.0 * jnp.clip((hw - pos[1]) / (2 * hw), 0.0, 1.0),  # 49 bottom
         ],
         F32,
     )
@@ -177,7 +172,7 @@ def observe(sp: ServerParams, cfg: EnvConfig, state: EnvState, agent_idx: int):
     )
 
     head = jnp.concatenate(
-        [jnp.stack(feats), lm_feats, oob, misc, ball_feats,
+        [jnp.stack(feats), lm_feats, oob, ball_feats,
          jnp.asarray([1.0], F32)]                    # 58 last-action-success
     )
 
@@ -196,13 +191,14 @@ def observe(sp: ServerParams, cfg: EnvConfig, state: EnvState, agent_idx: int):
         s, c, d = _rel_angle_feats(body, opos, pos[None, :])
         ospeed = jnp.sqrt(jnp.sum(ovel * ovel, axis=-1))
         ova = normalize_angle(jnp.arctan2(ovel[:, 1], ovel[:, 0]) - body)
+        orel_body = normalize_angle(obody - body)
         blk = jnp.stack(
             [
-                s, c, _prox(sp, d),
-                jnp.sin(ova), jnp.cos(ova),
+                s, c, _prox(sp, d),                         # landmark triple
+                jnp.sin(orel_body), jnp.cos(orel_body),     # relative body
                 -1.0 + 2.0 * jnp.minimum(ospeed, sp.player_speed_max) / sp.player_speed_max,
-                jnp.sin(obody), jnp.cos(obody),
-                -1.0 + 2.0 * unums[idx] / 11.0,
+                jnp.sin(ova), jnp.cos(ova),                 # relative vel ang
+                unums[idx].astype(F32),                     # raw unum (HFO quirk)
             ],
             axis=-1,
         ).reshape(-1)

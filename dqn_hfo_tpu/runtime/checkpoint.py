@@ -213,6 +213,17 @@ def find_hi_score(prefix: str) -> float:
     return best
 
 
+def _load_weights(path: str, kind: str):
+    """Bare-weights loader: this framework's npz or a reference-format
+    .caffemodel actor/critic (dqn_main.cpp:23-24; runtime/caffemodel.py)."""
+    if path.endswith(".caffemodel"):
+        from dqn_hfo_tpu.runtime import caffemodel as cm
+        fn = (cm.actor_params_from_caffemodel if kind == "actor"
+              else cm.critic_params_from_caffemodel)
+        return fn(path)
+    return _load_pickle_npz(path)["params"]
+
+
 def restore_learner(ls: LearnerState, actor_path: str = "",
                     critic_path: str = "",
                     actor_weights: str = "", critic_weights: str = "",
@@ -230,13 +241,13 @@ def restore_learner(ls: LearnerState, actor_path: str = "",
         iter_array = d.get("iter_array")
         rng = jnp.asarray(d["rng"]) if "rng" in d else rng
     elif actor_weights:
-        actor = _load_pickle_npz(actor_weights)["params"]
+        actor = _load_weights(actor_weights, "actor")
     if critic_path:
         d = _load_pickle_npz(critic_path)
         critic, critic_opt = d["params"], d["opt"]
         it = max(it, int(d["iter"]))
     elif critic_weights:
-        critic = _load_pickle_npz(critic_weights)["params"]
+        critic = _load_weights(critic_weights, "critic")
 
     to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
     actor, critic = to_dev(actor), to_dev(critic)

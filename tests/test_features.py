@@ -134,3 +134,126 @@ class TestRelativity:
         shifted = float(np.arctan2(float(o2[51]), float(o2[52])))
         d = (base - rot - shifted + np.pi) % (2 * np.pi) - np.pi
         assert abs(d) < 1e-5
+
+
+class TestPublishedLayout:
+    """Pin the full HFO LOW_LEVEL_FEATURE_SET ordering (LARG/HFO
+    doc/manual.pdf "Low Level State Feature List" +
+    src/lowlevel_feature_extractor.cpp), all 59 base indices and the
+    9-feature per-player block — not just the reward-critical subset.
+
+    Base map: 0-12 self block, 13-45 eleven landmarks x (ang sin, ang cos,
+    prox), 46-49 OOB distances, 50-57 ball block, 58
+    Last_Action_Success_Possible; then 9 per other player."""
+
+    SP = DEFAULT_PARAMS
+
+    def place(self, env, s, pos, body=0.0):
+        return dataclasses.replace(
+            s,
+            p_pos=s.p_pos.at[0].set(jnp.asarray(pos, jnp.float32)),
+            p_body=s.p_body.at[0].set(body),
+        )
+
+    def test_landmark_block_13_to_45(self):
+        env, s, _ = reset()
+        sp = self.SP
+        hl, hw, gw = sp.half_length, sp.half_width, sp.goal_width
+        pbx = hl - sp.penalty_area_length
+        pbw = sp.penalty_area_width
+        published = [  # manual order
+            (hl, 0.0),            # 13-15 Goal Center
+            (hl, -gw / 2),        # 16-18 Goal Post Top
+            (hl, gw / 2),         # 19-21 Goal Post Bottom
+            (pbx, 0.0),           # 22-24 Penalty Box Center
+            (pbx, -pbw / 2),      # 25-27 Penalty Box Top
+            (pbx, pbw / 2),       # 28-30 Penalty Box Bottom
+            (0.0, 0.0),           # 31-33 Center Field
+            (0.0, -hw),           # 34-36 Corner Top Left
+            (hl, -hw),            # 37-39 Corner Top Right
+            (hl, hw),             # 40-42 Corner Bottom Right
+            (0.0, hw),            # 43-45 Corner Bottom Left
+        ]
+        px, py, body = 20.0, -5.0, 0.37
+        o = observe(sp, env.cfg, self.place(env, s, (px, py), body), 0)
+        o = np.asarray(o)
+        for k, (lx, ly) in enumerate(published):
+            i = 13 + 3 * k
+            ang = np.arctan2(ly - py, lx - px) - body
+            dist = np.hypot(lx - px, ly - py)
+            assert abs(o[i] - np.sin(ang)) < 1e-5, f"landmark {k} sin"
+            assert abs(o[i + 1] - np.cos(ang)) < 1e-5, f"landmark {k} cos"
+            prox = 1.0 - 2.0 * dist / sp.max_hfo_dist
+            assert abs(o[i + 2] - prox) < 1e-5, f"landmark {k} prox"
+
+    def test_oob_distances_46_to_49(self):
+        env, s, _ = reset()
+        sp = self.SP
+        hl, hw = sp.half_length, sp.half_width
+        px, py = 30.0, 10.0
+        o = np.asarray(observe(sp, env.cfg, self.place(env, s, (px, py)), 0))
+        assert abs(o[46] - (-1 + 2 * px / hl)) < 1e-5           # left
+        assert abs(o[47] - (-1 + 2 * (hl - px) / hl)) < 1e-5    # right
+        assert abs(o[48] - (-1 + 2 * (py + hw) / (2 * hw))) < 1e-5  # top
+        assert abs(o[49] - (-1 + 2 * (hw - py) / (2 * hw))) < 1e-5  # bottom
+
+    def test_ball_block_50_to_57_and_58(self):
+        env, s, _ = reset()
+        sp = self.SP
+        s2 = dataclasses.replace(
+            self.place(env, s, (10.0, 0.0), 0.0),
+            ball_pos=jnp.asarray([20.0, 0.0]),
+            ball_vel=jnp.asarray([0.0, 1.0]),
+        )
+        o = np.asarray(observe(sp, env.cfg, s2, 0))
+        assert o[50] == 1.0                                   # pos valid
+        assert abs(o[51]) < 1e-6 and abs(o[52] - 1.0) < 1e-6  # dead ahead
+        assert abs(o[53] - (1 - 2 * 10.0 / sp.max_hfo_dist)) < 1e-5
+        assert o[54] == 1.0                                   # vel valid
+        assert abs(o[55] - (-1 + 2 * 1.0 / sp.ball_speed_max)) < 1e-5
+        assert abs(o[56] - 1.0) < 1e-6                        # vel ang sin
+        assert abs(o[57]) < 1e-6                              # vel ang cos
+        assert o[58] == 1.0                    # last-action-success-possible
+
+    def test_self_block_flags(self):
+        env, s, _ = reset()
+        o = np.asarray(observe(self.SP, env.cfg, s, 0))
+        assert o[0] == 1.0 and o[1] == 1.0      # pos/vel valid
+        assert o[8] == -1.0                     # not frozen at spawn
+        assert o[11] == -1.0                    # no post collision model
+        s2 = dataclasses.replace(s, p_frozen=s.p_frozen.at[0].set(5))
+        assert np.asarray(observe(self.SP, env.cfg, s2, 0))[8] == 1.0
+
+    def test_per_player_block_order_and_raw_unum(self):
+        """59+9k: [ang sin, ang cos, prox, body ang sin/cos (relative),
+        vel mag, vel ang sin/cos (relative), raw unum] — teammate first."""
+        cfg = EnvConfig(offense_agents=2)
+        env = HFOEnv(cfg, self.SP, noise_scale=0.0)
+        s, _ = env.reset(jax.random.PRNGKey(0))
+        body0 = 0.25
+        s = dataclasses.replace(
+            s,
+            p_pos=jnp.asarray([[10.0, 0.0], [20.0, 5.0]], jnp.float32),
+            p_body=jnp.asarray([body0, 1.1], jnp.float32),
+            p_vel=jnp.asarray([[0.0, 0.0], [0.3, 0.4]], jnp.float32),
+        )
+        o = np.asarray(observe(self.SP, env.cfg, s, 0))
+        assert o.shape[0] == 59 + 9
+        blk = o[59:68]
+        ang = np.arctan2(5.0, 10.0) - body0
+        assert abs(blk[0] - np.sin(ang)) < 1e-5
+        assert abs(blk[1] - np.cos(ang)) < 1e-5
+        dist = np.hypot(10.0, 5.0)
+        assert abs(blk[2] - (1 - 2 * dist / self.SP.max_hfo_dist)) < 1e-5
+        rel_body = 1.1 - body0
+        assert abs(blk[3] - np.sin(rel_body)) < 1e-5
+        assert abs(blk[4] - np.cos(rel_body)) < 1e-5
+        speed = 0.5
+        assert abs(blk[5] - (-1 + 2 * speed / self.SP.player_speed_max)) < 1e-5
+        va = np.arctan2(0.4, 0.3) - body0
+        assert abs(blk[6] - np.sin(va)) < 1e-5
+        assert abs(blk[7] - np.cos(va)) < 1e-5
+        # HFO leaves uniform numbers unnormalized — the one documented
+        # out-of-range feature (teammate unums follow the observer's)
+        assert blk[8] == float(np.asarray(o[59 + 8]))
+        assert blk[8] >= 1.0  # raw unum, not squashed into [-1, 1]
