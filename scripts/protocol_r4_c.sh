@@ -41,3 +41,20 @@ if [ -n "$ACTOR" ]; then
             --max_iter 1200000 --explore 20000 \
             --actor_weights $AW,$AW,$AW --critic_weights $CW,$CW,$CW"
 fi
+
+# ---- stage D (fast-mode consolidation) ----
+# b256_match seed 1 reached goal 0.82 at EXACTLY the parity gradient-
+# sample budget (125k steps x 256 = 32M samples) in half the wall time;
+# multi-seed it, multi-seed the 4x-budget batch-1024 point, and run the
+# 1v1-chaser config in fast mode (VERDICT r3 #1).
+B="--envs 128 --snapshot_freq 10000000 --no-snapshot_memory"
+python scripts/exps.py --save_root runs/r4_fast_b/b256_match --grid "seed=2,3" \
+  --base "$B --minibatch 256 --update_ratio 0.0125 --max_iter 125000 \
+          --explore 1250 --evaluate_freq 3200 --loss_display_iter 125"
+python scripts/exps.py --save_root runs/r4_fast_b/b1024_x4 --grid "seed=2,3" \
+  --base "$B --minibatch 1024 --update_ratio 0.0125 --max_iter 125000 \
+          --explore 1250 --evaluate_freq 3200 --loss_display_iter 125"
+python scripts/exps.py --save_root runs/r4_fast_1v1 --repeat 3 \
+  --base "$B --defense_chasers 1 --action_space mid_level \
+          --minibatch 256 --update_ratio 0.0125 --max_iter 125000 \
+          --explore 2500 --evaluate_freq 3200 --loss_display_iter 125"

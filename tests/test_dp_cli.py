@@ -73,3 +73,38 @@ class TestMeshCLI:
         recs = [json.loads(l) for l in open(prefix + "_metrics.jsonl")]
         evals = [r for r in recs if r["kind"] == "eval"]
         assert evals and any(r.get("agent") == 1 for r in evals)
+
+
+class TestSingleDeviceModes:
+    def test_benchmark_and_learn_offline_skip_auto_dp(self, tmp_path):
+        """--benchmark / --learn_offline are sequential single-device
+        measurements (dqn.cpp:487-498, dqn_main.cpp:340-349): with 8
+        devices visible and a mesh-divisible config, auto-DP must NOT
+        engage (it used to raise 'pass --mesh_devices 1')."""
+        save = os.path.join(str(tmp_path), "bench")
+        out = run_cli(["--save", save, "--envs", "16",
+                       "--frames_per_trial", "16", "--untouched_time", "8",
+                       "--memory", "2048", "--memory_threshold", "32",
+                       "--minibatch", "16", "--seed", "3", "--benchmark"],
+                      tmp_path)
+        assert "Average Update" in out
+        assert "Data-parallel mesh" not in out
+
+        # learn_offline needs a replay snapshot: produce one via a tiny
+        # train run (benchmark mode doesn't snapshot)
+        import glob as g
+        save2 = os.path.join(str(tmp_path), "pretrain")
+        run_cli(["--save", save2, "--envs", "16", "--frames_per_trial",
+                 "16", "--untouched_time", "8", "--memory", "2048",
+                 "--memory_threshold", "32", "--max_iter", "30",
+                 "--explore", "20", "--evaluate_freq", "1000",
+                 "--seed", "3"], tmp_path)
+        mem = sorted(g.glob(save2 + "_iter_*.replaymemory.npz"))[-1]
+        out = run_cli(["--save", os.path.join(str(tmp_path), "off"),
+                       "--envs", "16", "--frames_per_trial", "16",
+                       "--untouched_time", "8", "--memory", "2048",
+                       "--memory_threshold", "32", "--minibatch", "16",
+                       "--max_iter", "40", "--seed", "3",
+                       "--learn_offline", "--memory_snapshot", mem],
+                      tmp_path)
+        assert "Data-parallel mesh" not in out
