@@ -213,6 +213,21 @@ def main():
               f"{upd_ms_b:.3f} ms", file=sys.stderr)
         extra[f"train_env_steps_per_s_b{big}_nonparity"] = round(train_sps_b)
         extra[f"avg_update_ms_b{big}"] = round(upd_ms_b, 4)
+        if not args.quick:
+            # LEARNING-VALIDATED fast modes (RESULTS.md round 4): batch 256
+            # at the exact parity gradient-sample budget (1v0 goal 0.82 at
+            # matched 10M env steps), and batch 1024 at 4x the sample
+            # budget (goal 0.97).  update_ratio here is pre-scaling: the
+            # bench formula divides by minibatch/32, so 0.1 == parity
+            # budget and 0.4 == 4x.
+            for mb, ur, tag in ((256, 0.1, "fast_b256_matched"),
+                                (1024, 0.4, "fast_b1024_x4")):
+                sps_f, ms_f = bench_train(t_envs, t_chunk, update_ratio=ur,
+                                          minibatch=mb)
+                print(f"# coupled train rate ({tag}, learning-validated): "
+                      f"{sps_f:,.0f} env-steps/s; avg update {ms_f:.3f} ms",
+                      file=sys.stderr)
+                extra[f"train_env_steps_per_s_{tag}"] = round(sps_f)
 
     print(json.dumps({
         "metric": "env_steps_per_s",
