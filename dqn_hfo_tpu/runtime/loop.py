@@ -533,6 +533,8 @@ class Trainer:
 
     def _record(self, it: int):
         """Record + render one greedy episode (record.sh analogue)."""
+        if jax.process_index() != 0:
+            return  # multi-host: identical episode; one writer
         import os
         from dqn_hfo_tpu.runtime.record import record_episode, render_gif
         os.makedirs(self.cfg.record_dir, exist_ok=True)
