@@ -29,7 +29,6 @@ Message schema used (caffe.proto):
 
 from __future__ import annotations
 
-import struct
 from typing import Any, Dict, List, Tuple
 
 import numpy as np
