@@ -214,20 +214,30 @@ def main():
         extra[f"train_env_steps_per_s_b{big}_nonparity"] = round(train_sps_b)
         extra[f"avg_update_ms_b{big}"] = round(upd_ms_b, 4)
         if not args.quick:
-            # LEARNING-VALIDATED fast modes (RESULTS.md round 4): batch 256
-            # at the exact parity gradient-sample budget (1v0 goal 0.82 at
-            # matched 10M env steps), and batch 1024 at 4x the sample
-            # budget (goal 0.97).  update_ratio here is pre-scaling: the
-            # bench formula divides by minibatch/32, so 0.1 == parity
-            # budget and 0.4 == 4x.
-            for mb, ur, tag in ((256, 0.1, "fast_b256_matched"),
-                                (1024, 0.4, "fast_b1024_x4")):
+            # Fast modes with committed learning evidence (RESULTS.md round
+            # 4 seed tables).  Their validation status differs and the
+            # labels must match the evidence:
+            #  - fast_b1024_x4: learning-validated on BOTH 1v0
+            #    (0.97/0.94/0.78) and 1v1-chaser (0.84/0.93/0.93) — the
+            #    robust recipe.
+            #  - fast_b256_matched: validated on 1v1-chaser
+            #    (0.90/0.93/0.92) but SEED-FRAGILE on 1v0 (0.82/0.14/0.00
+            #    at the exact parity budget) — 8x step reduction sits at
+            #    the edge of what the bootstrap tolerates there.
+            # update_ratio here is pre-scaling: the bench formula divides
+            # by minibatch/32, so 0.1 == parity budget and 0.4 == 4x.
+            for mb, ur, tag, status in (
+                    (256, 0.1, "fast_b256_matched",
+                     "1v1-validated; 1v0-fragile 1/3 seeds"),
+                    (1024, 0.4, "fast_b1024_x4",
+                     "learning-validated 1v0+1v1")):
                 sps_f, ms_f = bench_train(t_envs, t_chunk, update_ratio=ur,
                                           minibatch=mb)
-                print(f"# coupled train rate ({tag}, learning-validated): "
+                print(f"# coupled train rate ({tag}, {status}): "
                       f"{sps_f:,.0f} env-steps/s; avg update {ms_f:.3f} ms",
                       file=sys.stderr)
                 extra[f"train_env_steps_per_s_{tag}"] = round(sps_f)
+                extra[f"{tag}_validation"] = status
 
     print(json.dumps({
         "metric": "env_steps_per_s",
