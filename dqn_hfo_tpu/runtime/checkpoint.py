@@ -9,6 +9,14 @@ Here the same roles map to three npz files:
   {prefix}_actor_iter_N.npz    — actor params + Adam state
   {prefix}_critic_iter_N.npz   — critic params + Adam state
   {prefix}_iter_N.replaymemory.npz — replay arrays + cursor
+All three are plain ``np.savez`` archives of arrays — inert data like the
+reference's artifacts (dqn.cpp:582-620, 1146-1178), never pickled code
+objects.  Learner pytrees are stored flat, one array per leaf, keyed by
+section + the leaf's canonical tree path (``jax.tree_util.keystr``), and
+are reassembled against the live learner's tree structure on load (so a
+structural mismatch fails with the offending path, not a deserialization
+crash).  Snapshots written by rounds ≤4 used pickle; a read-only legacy
+loader keeps them restorable.
 Semantics preserved:
   - FindLatestSnapshot regex-scans for the newest complete set
     (dqn.cpp:122-144); resume is automatic re-execution of the same command
@@ -35,16 +43,58 @@ from dqn_hfo_tpu.learner import replay as rp
 from dqn_hfo_tpu.learner.ddpg import LearnerState
 
 
-def _tree_to_np(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+def _flatten_section(section: str, tree) -> dict:
+    """Pytree -> {'<section>:<keystr>': np.ndarray} (one entry per leaf)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {f"{section}:{jax.tree_util.keystr(path)}": np.asarray(leaf)
+            for path, leaf in flat}
 
 
-def _save_pickle_npz(path: str, payload: dict):
-    with open(path, "wb") as f:
-        pickle.dump(payload, f, protocol=4)
+def _unflatten_section(section: str, template, data) -> object:
+    """Rebuild `template`'s tree structure from a flat npz mapping.
+
+    `data` is an NpzFile (or dict).  Every leaf path of the template must
+    be present; a miss raises with the offending path and the archive's
+    keys for that section, so architecture/refactor mismatches are
+    actionable instead of silently wrong."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, tmpl_leaf in flat:
+        key = f"{section}:{jax.tree_util.keystr(path)}"
+        if key not in data:
+            have = sorted(k for k in getattr(data, "files", data)
+                          if k.startswith(section + ":"))
+            raise KeyError(
+                f"snapshot is missing leaf {key!r}; the live learner's "
+                f"tree does not match the snapshot (archive has "
+                f"{len(have)} '{section}' leaves: {have[:6]}...)")
+        leaf = np.asarray(data[key])
+        if leaf.shape != np.shape(tmpl_leaf):
+            raise ValueError(
+                f"snapshot leaf {key!r} has shape {leaf.shape}, live "
+                f"learner expects {np.shape(tmpl_leaf)} — architecture "
+                f"mismatch (wrong --*_tower / state size / agent count?)")
+        leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def _load_pickle_npz(path: str) -> dict:
+def _save_learner_npz(path: str, sections: dict, scalars: dict):
+    """Write one learner snapshot file: flat tree sections + scalar arrays,
+    all via np.savez — no pickled objects (allow_pickle stays off on load)."""
+    arrs = {}
+    for name, tree in sections.items():
+        arrs.update(_flatten_section(name, tree))
+    arrs.update({k: np.asarray(v) for k, v in scalars.items()})
+    np.savez(path, **arrs)
+
+
+def _is_npz(path: str) -> bool:
+    import zipfile
+    return zipfile.is_zipfile(path)
+
+
+def _load_legacy_pickle(path: str) -> dict:
+    """Read-only loader for rounds ≤4 pickle-format learner snapshots."""
     with open(path, "rb") as f:
         return pickle.load(f)
 
@@ -56,18 +106,14 @@ def snapshot(prefix: str, ls: LearnerState, replay: Optional[rp.ReplayState],
     it = int(np.max(np.asarray(ls.iteration)))
     actor_path = f"{prefix}_actor_iter_{it}.npz"
     critic_path = f"{prefix}_critic_iter_{it}.npz"
-    _save_pickle_npz(actor_path, {
-        "params": _tree_to_np(ls.actor),
-        "opt": _tree_to_np(ls.actor_opt),
-        "iter": it,
-        "iter_array": np.asarray(ls.iteration),
-        "rng": np.asarray(ls.rng),
-    })
-    _save_pickle_npz(critic_path, {
-        "params": _tree_to_np(ls.critic),
-        "opt": _tree_to_np(ls.critic_opt),
-        "iter": it,
-    })
+    _save_learner_npz(actor_path,
+                      {"params": ls.actor, "opt": ls.actor_opt},
+                      {"iter": it,
+                       "iter_array": np.asarray(ls.iteration),
+                       "rng": np.asarray(ls.rng)})
+    _save_learner_npz(critic_path,
+                      {"params": ls.critic, "opt": ls.critic_opt},
+                      {"iter": it})
     paths = [actor_path, critic_path]
     if snapshot_memory and replay is not None:
         mem_path = f"{prefix}_iter_{it}.replaymemory.npz"
@@ -91,8 +137,44 @@ def snapshot_replay_shards(prefix: str, it: int, payload: dict,
     dqn.cpp:1146-1226) without any cross-host gather."""
     path = (f"{prefix}_iter_{it}.replaymemory"
             f".shard{process_index:03d}-of-{process_count:03d}.npz")
-    np.savez(path, **payload)
+    # Write-then-rename so a crash mid-write never leaves a torn shard
+    # file under the final name (the set-level completeness marker is
+    # written by the coordinator after the barrier — see
+    # mark_snapshot_complete).
+    tmp = os.path.join(os.path.dirname(path) or ".",
+                       ".tmp." + os.path.basename(path))
+    np.savez(tmp, **payload)  # keeps the .npz suffix so savez won't append
+    os.replace(tmp, path)
     return path
+
+
+def mark_snapshot_complete(prefix: str, it: int) -> str:
+    """Write the multi-host snapshot set's completion marker.
+
+    The coordinator calls this LAST — after every process's replay shard
+    has passed the sync barrier and after the learner actor/critic files
+    are on disk — so a marker's presence certifies the whole iter-N set
+    (shards + nets) is consistent.  find_latest_snapshot skips unmarked
+    shard sets and falls back to the next-lower complete one, closing the
+    crash windows between shard writes and the learner snapshot (the
+    reference's analogue is its CHECK on snapshot file existence,
+    dqn.cpp:593-610)."""
+    path = f"{prefix}_iter_{it}.replaymemory.complete"
+    with open(path, "w"):
+        pass
+    return path
+
+
+def _shard_set_usable(stem: str) -> bool:
+    """A shard set at `stem` is loadable: its marker exists, or (markerless
+    rounds ≤4 sets) the files present match the declared shard count."""
+    if os.path.exists(stem + ".complete"):
+        return True
+    files = glob.glob(stem + ".shard*-of-*.npz")
+    if not files:
+        return False
+    m = re.search(r"\.shard\d+-of-(\d+)\.npz$", files[0])
+    return m is not None and len(files) == int(m.group(1))
 
 
 def load_sharded_replay(base: str) -> rp.ReplayState:
@@ -106,8 +188,14 @@ def load_sharded_replay(base: str) -> rp.ReplayState:
     files = sorted(glob.glob(base + ".shard*-of-*.npz"))
     if not files:
         raise FileNotFoundError(f"no replay shard files at {base}.shard*")
-    m = re.search(r"\.shard\d+-of-(\d+)\.npz$", files[0])
-    want = int(m.group(1))
+    counts = {int(re.search(r"\.shard\d+-of-(\d+)\.npz$", f).group(1))
+              for f in files}
+    if len(counts) != 1:
+        raise ValueError(
+            f"replay shard set at {base} mixes topologies: files declare "
+            f"shard counts {sorted(counts)} — remove the stale set before "
+            f"resuming")
+    want = counts.pop()
     if len(files) != want:
         raise FileNotFoundError(
             f"incomplete replay shard set at {base}: "
@@ -127,12 +215,22 @@ def load_sharded_replay(base: str) -> rp.ReplayState:
                 a = d[k]
                 out[k] = np.zeros((a.shape[0], n_cols) + a.shape[2:],
                                   a.dtype)
+        if covered[ids].any():
+            dup = np.flatnonzero(covered[ids])
+            raise ValueError(
+                f"replay shard file {f} re-claims {dup.size} column(s) "
+                f"already written by an earlier shard (first: col "
+                f"{int(ids[dup[0]])}) — overlapping shard set")
         covered[ids] = True
         for k in out:
             out[k][:, ids] = d[k]
         cursor = d["cursor"]
-    assert covered is not None and covered.all(), \
-        f"replay shard set {base} does not cover all columns"
+    if not covered.all():
+        missing = np.flatnonzero(~covered)
+        raise ValueError(
+            f"replay shard set {base} leaves {missing.size} of "
+            f"{covered.size} columns uncovered (first missing: col "
+            f"{int(missing[0])}) — shard files from mismatched runs?")
     out["cursor"] = cursor
     return rp.ReplayState(**{k: jnp.asarray(v) for k, v in out.items()})
 
@@ -166,22 +264,44 @@ def find_latest_snapshot(prefix: str) -> Tuple[str, str, str]:
     (...replaymemory, no extension), which load_sharded_replay consumes."""
     out = []
     for kind, pat in _PATTERNS.items():
-        it = _find_greatest_iter(prefix, pat)
-        if it > 0:
-            if kind == "memory":
+        if kind == "memory":
+            # Newest USABLE memory snapshot: a single file, or a shard set
+            # that is marked complete (or markerless-but-full, rounds ≤4).
+            # An interrupted multi-host snapshot leaves a partial set at
+            # the greatest iter; fall back to the next-lower complete one
+            # instead of aborting the resume.
+            iters = set()
+            for f in glob.glob(prefix + "*"):
+                rest = f[len(prefix):]
+                m = re.search(pat, f)
+                if m and f.startswith(prefix) \
+                        and not rest.startswith("_HiScore"):
+                    iters.add(int(m.group(1)))
+            chosen = ""
+            for it in sorted(iters, reverse=True):
                 single = f"{prefix}_iter_{it}.replaymemory.npz"
                 stem = f"{prefix}_iter_{it}.replaymemory"
-                out.append(single if os.path.exists(single) else stem)
-            else:
+                if os.path.exists(single):
+                    chosen = single
+                    break
+                if _shard_set_usable(stem):
+                    chosen = stem
+                    break
+            out.append(chosen)
+        else:
+            it = _find_greatest_iter(prefix, pat)
+            if it > 0:
                 mid = "_actor" if kind == "actor" else "_critic"
                 out.append(f"{prefix}{mid}_iter_{it}.npz")
-        else:
-            out.append("")
+            else:
+                out.append("")
     return tuple(out)
 
 
 def remove_snapshots(prefix: str, min_iter: int):
-    for pat in _PATTERNS.values():
+    pats = list(_PATTERNS.values()) + [
+        r"_iter_(\d+)\.replaymemory\.complete$"]
+    for pat in pats:
         for f in glob.glob(prefix + "*"):
             rest = f[len(prefix):]
             if rest.startswith("_HiScore"):
@@ -213,15 +333,19 @@ def find_hi_score(prefix: str) -> float:
     return best
 
 
-def _load_weights(path: str, kind: str):
+def _load_weights(path: str, kind: str, template):
     """Bare-weights loader: this framework's npz or a reference-format
-    .caffemodel actor/critic (dqn_main.cpp:23-24; runtime/caffemodel.py)."""
+    .caffemodel actor/critic (dqn_main.cpp:23-24; runtime/caffemodel.py).
+    `template` is the live learner's params tree (for flat-npz reassembly;
+    unused by the caffemodel and legacy-pickle paths)."""
     if path.endswith(".caffemodel"):
         from dqn_hfo_tpu.runtime import caffemodel as cm
         fn = (cm.actor_params_from_caffemodel if kind == "actor"
               else cm.critic_params_from_caffemodel)
         return fn(path)
-    return _load_pickle_npz(path)["params"]
+    if _is_npz(path):
+        return _unflatten_section("params", template, np.load(path))
+    return _load_legacy_pickle(path)["params"]
 
 
 def restore_learner(ls: LearnerState, actor_path: str = "",
@@ -236,18 +360,32 @@ def restore_learner(ls: LearnerState, actor_path: str = "",
     rng = ls.rng
     iter_array = None
     if actor_path:
-        d = _load_pickle_npz(actor_path)
-        actor, actor_opt, it = d["params"], d["opt"], int(d["iter"])
-        iter_array = d.get("iter_array")
-        rng = jnp.asarray(d["rng"]) if "rng" in d else rng
+        if _is_npz(actor_path):
+            d = np.load(actor_path)
+            actor = _unflatten_section("params", ls.actor, d)
+            actor_opt = _unflatten_section("opt", ls.actor_opt, d)
+            it = int(d["iter"])
+            iter_array = d["iter_array"] if "iter_array" in d.files else None
+            rng = jnp.asarray(d["rng"]) if "rng" in d.files else rng
+        else:  # rounds ≤4 pickle snapshot (read-only legacy path)
+            d = _load_legacy_pickle(actor_path)
+            actor, actor_opt, it = d["params"], d["opt"], int(d["iter"])
+            iter_array = d.get("iter_array")
+            rng = jnp.asarray(d["rng"]) if "rng" in d else rng
     elif actor_weights:
-        actor = _load_weights(actor_weights, "actor")
+        actor = _load_weights(actor_weights, "actor", ls.actor)
     if critic_path:
-        d = _load_pickle_npz(critic_path)
-        critic, critic_opt = d["params"], d["opt"]
-        it = max(it, int(d["iter"]))
+        if _is_npz(critic_path):
+            d = np.load(critic_path)
+            critic = _unflatten_section("params", ls.critic, d)
+            critic_opt = _unflatten_section("opt", ls.critic_opt, d)
+            it = max(it, int(d["iter"]))
+        else:
+            d = _load_legacy_pickle(critic_path)
+            critic, critic_opt = d["params"], d["opt"]
+            it = max(it, int(d["iter"]))
     elif critic_weights:
-        critic = _load_weights(critic_weights, "critic")
+        critic = _load_weights(critic_weights, "critic", ls.critic)
 
     to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
     actor, critic = to_dev(actor), to_dev(critic)

@@ -13,6 +13,10 @@ Usage:
   -> out_prefix_agent{a}.npz for each agent slice, loadable via
      --actor_weights (same for critic snapshots).
 
+Reads both snapshot formats (flat-npz, round 5+; legacy pickle, rounds
+≤4) and always writes the flat-npz bare-weights format — inert arrays,
+no pickled objects (runtime/checkpoint.py docstring).
+
 --remap adapts the first-layer weights across topologies for curriculum
 runs (e.g. 2v2 -> 3v3): the state is 59 base features + 9 per other
 player, teammates first (env/features.py), so rows are scattered onto
@@ -21,12 +25,16 @@ rows start at zero.  (The critic's first layer additionally carries the
 10 action inputs after the state block; they are moved to the end.)
 """
 
-import pickle
+import os
 import sys
+import zipfile
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 BASE, PER = 59, 9
+IP1_KEY = "params:['tower'][0]['w']"
 
 
 def remap_first_layer(w, spec, extra_in):
@@ -50,44 +58,31 @@ def remap_first_layer(w, spec, extra_in):
     return out
 
 
-def main(path: str, out_prefix: str, remap=None):
+def load_flat_params(path: str) -> dict:
+    """{'params:<keystr>': array} from either snapshot format."""
+    if zipfile.is_zipfile(path):
+        d = np.load(path)
+        flat = {k: d[k] for k in d.files if k.startswith("params:")}
+        if not flat:
+            raise ValueError(f"{path}: no 'params:' leaves in archive")
+        return flat
+    import pickle  # legacy rounds ≤4 snapshot (read-only)
+    from dqn_hfo_tpu.runtime.checkpoint import _flatten_section
     with open(path, "rb") as f:
-        d = pickle.load(f)
-    params = d["params"]
+        return _flatten_section("params", pickle.load(f)["params"])
 
-    # leading-axis arity from any leaf
-    def leaves(t):
-        if isinstance(t, dict):
-            for v in t.values():
-                yield from leaves(v)
-        elif isinstance(t, (list, tuple)):
-            for v in t:
-                yield from leaves(v)
-        else:
-            yield t
 
-    A = next(iter(leaves(params))).shape[0]
-
-    def take(t, a):
-        if isinstance(t, dict):
-            return {k: take(v, a) for k, v in t.items()}
-        if isinstance(t, list):
-            return [take(v, a) for v in t]
-        if isinstance(t, tuple):
-            return tuple(take(v, a) for v in t)
-        return np.asarray(t)[a]
-
+def main(path: str, out_prefix: str, remap=None):
+    flat = load_flat_params(path)
+    A = next(iter(flat.values())).shape[0]
     for a in range(A):
-        p = take(params, a)
+        p = {k: np.asarray(v)[a] for k, v in flat.items()}
         if remap is not None:
-            ip1 = p["tower"][0]
             state_in = BASE + PER * (remap[0] + remap[1])
-            extra = ip1["w"].shape[0] - state_in   # 0 actor, 10 critic
-            p["tower"][0] = {"w": remap_first_layer(ip1["w"], remap, extra),
-                             "b": ip1["b"]}
+            extra = p[IP1_KEY].shape[0] - state_in   # 0 actor, 10 critic
+            p[IP1_KEY] = remap_first_layer(p[IP1_KEY], remap, extra)
         out = f"{out_prefix}_agent{a}.npz"
-        with open(out, "wb") as f:
-            pickle.dump({"params": p}, f, protocol=4)
+        np.savez(out, **p)
         print(out)
 
 

@@ -3,6 +3,7 @@
 import json
 import os
 
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -114,6 +115,64 @@ class TestCheckpoint:
             np.asarray(ls2.actor["tower"][0]["w"]))
         rs2 = ckpt.load_replay(m)
         assert rs2.obs.shape == rs.obs.shape
+
+    def test_snapshots_are_inert_npz(self, tmp_path):
+        # Round-5 contract: learner snapshots are plain np.savez archives —
+        # loadable with allow_pickle=False (no code objects, unlike the
+        # rounds-≤4 pickle format), matching the reference's inert
+        # .caffemodel/.solverstate artifacts (dqn.cpp:582-620).
+        import zipfile
+        cfg = DDPGConfig(state_size=8)
+        ls = init_learner(jax.random.PRNGKey(0), cfg)
+        prefix = str(tmp_path / "run")
+        paths = ckpt.snapshot(prefix, ls, None, snapshot_memory=False)
+        for p in paths:
+            assert zipfile.is_zipfile(p)
+            d = np.load(p, allow_pickle=False)
+            assert any(k.startswith("params:") for k in d.files)
+            assert any(k.startswith("opt:") for k in d.files)
+            assert "iter" in d.files
+        # opt state (Adam moments) survives the flat round trip
+        ls2 = ckpt.restore_learner(init_learner(jax.random.PRNGKey(9), cfg),
+                                   paths[0], paths[1])
+        chex.assert_trees_all_equal(
+            jax.tree_util.tree_map(np.asarray, ls.actor_opt),
+            jax.tree_util.tree_map(np.asarray, ls2.actor_opt))
+
+    def test_legacy_pickle_snapshot_still_loads(self, tmp_path):
+        # Rounds ≤4 wrote pickled dicts under the same .npz names; the
+        # read-only legacy loader must keep those runs resumable.
+        import pickle
+        cfg = DDPGConfig(state_size=8)
+        ls = init_learner(jax.random.PRNGKey(0), cfg)
+        to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+        a_path = str(tmp_path / "old_actor_iter_7.npz")
+        c_path = str(tmp_path / "old_critic_iter_7.npz")
+        with open(a_path, "wb") as f:
+            pickle.dump({"params": to_np(ls.actor), "opt": to_np(ls.actor_opt),
+                         "iter": 7, "rng": np.asarray(ls.rng)}, f, protocol=4)
+        with open(c_path, "wb") as f:
+            pickle.dump({"params": to_np(ls.critic),
+                         "opt": to_np(ls.critic_opt), "iter": 7}, f,
+                        protocol=4)
+        ls2 = ckpt.restore_learner(init_learner(jax.random.PRNGKey(3), cfg),
+                                   a_path, c_path)
+        assert int(ls2.iteration) == 7
+        np.testing.assert_array_equal(
+            np.asarray(ls.actor["tower"][0]["w"]),
+            np.asarray(ls2.actor["tower"][0]["w"]))
+
+    def test_snapshot_structure_mismatch_is_actionable(self, tmp_path):
+        # Restoring into a different architecture must fail with the
+        # offending leaf path, not garbage weights.
+        cfg = DDPGConfig(state_size=8)
+        ls = init_learner(jax.random.PRNGKey(0), cfg)
+        prefix = str(tmp_path / "run")
+        a, c = ckpt.snapshot(prefix, ls, None, snapshot_memory=False)[:2]
+        other = init_learner(jax.random.PRNGKey(0),
+                             DDPGConfig(state_size=8, actor_tower=(16, 8, 4)))
+        with pytest.raises((KeyError, ValueError), match="tower"):
+            ckpt.restore_learner(other, a, c)
 
     def test_remove_old_snapshots(self, tmp_path):
         cfg = DDPGConfig(state_size=8)
