@@ -134,7 +134,13 @@ def sample(rs: ReplayState, key, n: int):
     c = jnp.cumsum(rs.valid.reshape(-1).astype(jnp.int32))
     total = c[-1]
     u = jax.random.randint(key, (n,), 0, jnp.maximum(total, 1))
-    return jnp.searchsorted(c, u, side="right").astype(jnp.int32)
+    idx = jnp.searchsorted(c, u, side="right").astype(jnp.int32)
+    # All-invalid mask => searchsorted returns len(c), one past the last
+    # entry.  Clip explicitly so the degenerate case lands on the (never-
+    # valid) trash row by construction rather than by relying on XLA's
+    # out-of-bounds gather clamping downstream (advisor r4).  Callers gate
+    # on memory_threshold / has_data, so clipped draws are never consumed.
+    return jnp.minimum(idx, c.shape[0] - 1)
 
 
 def gather(rs: ReplayState, idx):

@@ -17,6 +17,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dqn_hfo_tpu.constants import DEFAULT_PARAMS
 from dqn_hfo_tpu.env.hfo_env import HFOEnv
@@ -129,6 +130,78 @@ class TestShardSnapshotSet:
             assert "incomplete" in str(e)
         else:
             raise AssertionError("incomplete shard set must not load")
+
+    def test_overlapping_shards_refuse(self, tmp_path):
+        # Two shard files claiming the same canonical columns (e.g. stale
+        # files from a run restarted with a different process->column map)
+        # must refuse rather than silently double-write.
+        dp = make_dp(n_agents=1)
+        rs = stamped_replay(dp)
+        payload = dp.local_replay_shards(rs)
+        prefix = os.path.join(str(tmp_path), "run")
+        parts = split_payload(payload, 2)
+        ckpt.snapshot_replay_shards(prefix, 5, parts[0], 0, 2)
+        ckpt.snapshot_replay_shards(prefix, 5, parts[0], 1, 2)  # same cols
+        with pytest.raises(ValueError, match="re-claims"):
+            ckpt.load_sharded_replay(f"{prefix}_iter_5.replaymemory")
+
+    def test_coverage_gap_refuses(self, tmp_path):
+        # A complete-by-count set that leaves canonical columns uncovered
+        # (shards from mismatched topologies) must refuse with the gap.
+        dp = make_dp(n_agents=1)
+        rs = stamped_replay(dp)
+        payload = dp.local_replay_shards(rs)
+        prefix = os.path.join(str(tmp_path), "run")
+        parts = split_payload(payload, 3)
+        ckpt.snapshot_replay_shards(prefix, 5, parts[0], 0, 2)
+        ckpt.snapshot_replay_shards(prefix, 5, parts[1], 1, 2)  # part 2 lost
+        with pytest.raises(ValueError, match="uncovered"):
+            ckpt.load_sharded_replay(f"{prefix}_iter_5.replaymemory")
+
+    def test_mixed_topology_set_refuses(self, tmp_path):
+        dp = make_dp(n_agents=1)
+        rs = stamped_replay(dp)
+        payload = dp.local_replay_shards(rs)
+        prefix = os.path.join(str(tmp_path), "run")
+        parts = split_payload(payload, 2)
+        ckpt.snapshot_replay_shards(prefix, 5, parts[0], 0, 2)
+        ckpt.snapshot_replay_shards(prefix, 5, parts[1], 1, 3)  # -of-3 file
+        with pytest.raises(ValueError, match="mixes topologies"):
+            ckpt.load_sharded_replay(f"{prefix}_iter_5.replaymemory")
+
+    def test_partial_newest_set_falls_back(self, tmp_path):
+        # Crash mid-snapshot: iter-20 has only 1 of 2 shards and no
+        # completion marker; find_latest_snapshot must select the marked
+        # iter-10 set instead of aborting resume (advisor r4).
+        dp = make_dp(n_agents=1)
+        rs = stamped_replay(dp)
+        payload = dp.local_replay_shards(rs)
+        prefix = os.path.join(str(tmp_path), "run")
+        parts = split_payload(payload, 2)
+        for p, part in enumerate(parts):
+            ckpt.snapshot_replay_shards(prefix, 10, part, p, 2)
+        ckpt.mark_snapshot_complete(prefix, 10)
+        ckpt.snapshot_replay_shards(prefix, 20, parts[0], 0, 2)  # torn set
+        _, _, mem_p = ckpt.find_latest_snapshot(prefix)
+        assert mem_p == f"{prefix}_iter_10.replaymemory"
+        got = ckpt.load_sharded_replay(mem_p)
+        np.testing.assert_array_equal(
+            np.asarray(got.reward),
+            np.asarray(dp.canonical_replay(rs).reward))
+
+    def test_gc_removes_markers(self, tmp_path):
+        dp = make_dp(n_agents=1)
+        rs = stamped_replay(dp)
+        payload = dp.local_replay_shards(rs)
+        prefix = os.path.join(str(tmp_path), "run")
+        for it in (10, 20):
+            for p, part in enumerate(split_payload(payload, 2)):
+                ckpt.snapshot_replay_shards(prefix, it, part, p, 2)
+            ckpt.mark_snapshot_complete(prefix, it)
+        ckpt.remove_snapshots(prefix, 20)
+        files = os.listdir(str(tmp_path))
+        assert not any("iter_10" in f for f in files)
+        assert f"run_iter_20.replaymemory.complete" in files
 
     def test_topology_change_via_canonical(self, tmp_path):
         """A shard set written on an 8-device topology restores onto a
