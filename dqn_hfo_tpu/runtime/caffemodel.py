@@ -41,7 +41,10 @@ import numpy as np
 def _read_varint(buf: memoryview, pos: int) -> Tuple[int, int]:
     result = 0
     shift = 0
+    n = len(buf)
     while True:
+        if pos >= n:
+            raise ValueError("truncated varint (unexpected end of file)")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -64,13 +67,21 @@ def _iter_fields(buf: memoryview):
         if wire == 0:
             val, pos = _read_varint(buf, pos)
         elif wire == 1:
+            if pos + 8 > n:
+                raise ValueError("truncated fixed64 field")
             val = bytes(buf[pos:pos + 8])
             pos += 8
         elif wire == 2:
             ln, pos = _read_varint(buf, pos)
+            if pos + ln > n:
+                raise ValueError(
+                    f"truncated length-delimited field {field}: declares "
+                    f"{ln} bytes, {n - pos} remain")
             val = buf[pos:pos + ln]
             pos += ln
         elif wire == 5:
+            if pos + 4 > n:
+                raise ValueError("truncated fixed32 field")
             val = bytes(buf[pos:pos + 4])
             pos += 4
         else:
@@ -130,9 +141,17 @@ def _parse_blob(buf: memoryview) -> np.ndarray:
            else np.zeros(0, np.float32)).astype(np.float32)
     if not dims and legacy:
         dims = [legacy.get(i, 1) for i in (1, 2, 3, 4)]
-        while len(dims) > 1 and dims[0] == 1:   # squeeze leading 1s
+        # Squeeze leading 1s but never below 2-D: an IP weight blob is
+        # legacy (1, 1, out, in) and must keep its (out, in) axes even
+        # when out == 1 (e.g. the critic q_values_layer) — squeezing to
+        # 1-D would silently transpose it downstream.
+        while len(dims) > 2 and dims[0] == 1:
             dims.pop(0)
     if dims:
+        if int(np.prod(dims)) != arr.size:
+            raise ValueError(
+                f"blob declares shape {dims} ({int(np.prod(dims))} floats) "
+                f"but carries {arr.size} data entries — corrupt blob")
         arr = arr.reshape(dims)
     return arr
 
