@@ -53,6 +53,13 @@ to the HFO play-region edges — both plausible but unverified details;
 the per-player 9-tuple follows FeatureExtractor::addPlayerFeatures
 (landmark triple, relative body angle pair, velocity magnitude +
 relative direction) with the appended unum.
+
+Each of those three unverified choices is a config switch on EnvConfig
+(center_field_mark / oob_feature_norm / player_block_variant, defaults =
+the reconstruction above), so a future cross-check against the real
+client is a flag flip.  The switches never touch the reward-critical
+indices 12-15 / 51-55 (hfo_game.cpp:131-152) — asserted by
+tests/test_features.py::TestEncoderVariants.
 """
 
 from __future__ import annotations
@@ -82,11 +89,12 @@ def _rel_angle_feats(body, target_pos, self_pos):
     return jnp.sin(ang), jnp.cos(ang), dist
 
 
-def landmarks(sp: ServerParams):
+def landmarks(sp: ServerParams, center_field_mark: str = "pitch_center"):
     """The 11 landmark positions, (11, 2), in HFO's published order."""
     hl, hw, gw = sp.half_length, sp.half_width, sp.goal_width
     pbx = hl - sp.penalty_area_length     # penalty box front line
     pbw = sp.penalty_area_width
+    cfx = 0.0 if center_field_mark == "pitch_center" else hl / 2.0
     return jnp.asarray(
         [
             [hl, 0.0],            # goal center
@@ -95,7 +103,7 @@ def landmarks(sp: ServerParams):
             [pbx, 0.0],           # penalty box center
             [pbx, -pbw / 2.0],    # penalty box top
             [pbx, pbw / 2.0],     # penalty box bottom
-            [0.0, 0.0],           # center field (pitch center mark)
+            [cfx, 0.0],           # center field (EnvConfig.center_field_mark)
             [0.0, -hw],           # corner top left
             [hl, -hw],            # corner top right
             [hl, hw],             # corner bottom right
@@ -138,20 +146,29 @@ def observe(sp: ServerParams, cfg: EnvConfig, state: EnvState, agent_idx: int):
         _flag(kickable),                             # 12
     ]
 
-    lm = landmarks(sp)                               # (11, 2)
+    lm = landmarks(sp, cfg.center_field_mark)        # (11, 2)
     s, c, d = _rel_angle_feats(body, lm, pos[None, :])
     lm_feats = jnp.stack([s, c, _prox(sp, d)], axis=-1).reshape(-1)  # (33,)
 
     hl, hw = sp.half_length, sp.half_width
-    oob = jnp.asarray(
-        [
-            -1.0 + 2.0 * jnp.clip(pos[0] / hl, 0.0, 1.0),          # 46 left
-            -1.0 + 2.0 * jnp.clip((hl - pos[0]) / hl, 0.0, 1.0),   # 47 right
-            -1.0 + 2.0 * jnp.clip((pos[1] + hw) / (2 * hw), 0.0, 1.0),  # 48 top
-            -1.0 + 2.0 * jnp.clip((hw - pos[1]) / (2 * hw), 0.0, 1.0),  # 49 bottom
-        ],
-        F32,
-    )
+    if cfg.oob_feature_norm == "linear_clip":
+        oob = jnp.asarray(
+            [
+                -1.0 + 2.0 * jnp.clip(pos[0] / hl, 0.0, 1.0),          # 46 left
+                -1.0 + 2.0 * jnp.clip((hl - pos[0]) / hl, 0.0, 1.0),   # 47 right
+                -1.0 + 2.0 * jnp.clip((pos[1] + hw) / (2 * hw), 0.0, 1.0),  # 48 top
+                -1.0 + 2.0 * jnp.clip((hw - pos[1]) / (2 * hw), 0.0, 1.0),  # 49 bottom
+            ],
+            F32,
+        )
+    else:  # "hfo_prox": landmark proximity formula on the edge distance
+        edges = jnp.stack([
+            jnp.clip(pos[0], 0.0, None),          # dist to the x=0 mid line
+            jnp.clip(hl - pos[0], 0.0, None),     # dist to the end line
+            jnp.clip(pos[1] + hw, 0.0, None),     # dist to the top line
+            jnp.clip(hw - pos[1], 0.0, None),     # dist to the bottom line
+        ])
+        oob = _prox(sp, edges).astype(F32)
 
     bs, bc, _ = _rel_angle_feats(body, state.ball_pos, pos)
     ball_speed = jnp.sqrt(jnp.sum(state.ball_vel * state.ball_vel))
@@ -190,15 +207,21 @@ def observe(sp: ServerParams, cfg: EnvConfig, state: EnvState, agent_idx: int):
         obody = state.p_body[idx]
         s, c, d = _rel_angle_feats(body, opos, pos[None, :])
         ospeed = jnp.sqrt(jnp.sum(ovel * ovel, axis=-1))
-        ova = normalize_angle(jnp.arctan2(ovel[:, 1], ovel[:, 0]) - body)
-        orel_body = normalize_angle(obody - body)
+        if cfg.player_block_variant == "body_rel_raw_unum":
+            ova = normalize_angle(jnp.arctan2(ovel[:, 1], ovel[:, 0]) - body)
+            obody_feat = normalize_angle(obody - body)   # body-relative
+            unum_feat = unums[idx].astype(F32)           # raw unum (HFO quirk)
+        else:  # "global_norm_unum": global angles, unum scaled to [-1,1]
+            ova = normalize_angle(jnp.arctan2(ovel[:, 1], ovel[:, 0]))
+            obody_feat = normalize_angle(obody)
+            unum_feat = -1.0 + 2.0 * unums[idx].astype(F32) / 11.0
         blk = jnp.stack(
             [
                 s, c, _prox(sp, d),                         # landmark triple
-                jnp.sin(orel_body), jnp.cos(orel_body),     # relative body
+                jnp.sin(obody_feat), jnp.cos(obody_feat),   # body angle pair
                 -1.0 + 2.0 * jnp.minimum(ospeed, sp.player_speed_max) / sp.player_speed_max,
-                jnp.sin(ova), jnp.cos(ova),                 # relative vel ang
-                unums[idx].astype(F32),                     # raw unum (HFO quirk)
+                jnp.sin(ova), jnp.cos(ova),                 # vel angle pair
+                unum_feat,
             ],
             axis=-1,
         ).reshape(-1)

@@ -87,6 +87,24 @@ class EnvConfig:
     ball_x_max: float = 0.2
     offense_on_ball: int = 0
 
+    # --- encoder variant switches (env/features.py) -----------------------
+    # Three acknowledged-unverified reconstructions of the HFO client's
+    # low-level encoder, surfaced as flags so a future cross-check against
+    # the real server is a flag flip, not a code change.  None of them
+    # touches the reward-critical indices 12-15 / 51-55 (pinned by
+    # tests/test_features.py::TestEncoderVariants).
+    # Landmark #6 "Center Field": the pitch center mark (0,0) [default] or
+    # the center of the offensive half (half_length/2, 0).
+    center_field_mark: str = "pitch_center"   # | "half_field_center"
+    # OOB distance features 46-49: linear clip-normalization over the play
+    # region [default] or HFO's landmark proximity formula on the edge
+    # distance.
+    oob_feature_norm: str = "linear_clip"     # | "hfo_prox"
+    # Per-player 9-tuple (59+9k): body-relative angles + raw 1-11 unum
+    # [default, FeatureExtractor::addPlayerFeatures reading] or global
+    # angles + unum normalized to [-1,1].
+    player_block_variant: str = "body_rel_raw_unum"  # | "global_norm_unum"
+
     @property
     def n_players(self) -> int:
         return self.offense_agents + self.offense_npcs + self.defense_npcs

@@ -98,6 +98,20 @@ class RunConfig:
     # --- Action space: low_level (reference parity) or mid_level macros ---
     action_space: str = "low_level"
 
+    # --- Multi-agent layer-sharing update mode (learner/multi.py P3):
+    #     "batched" = one vmapped program, prefix deltas summed per
+    #     iteration (deterministic analogue of the reference's concurrent
+    #     ShareData mutation; A-independent cost).  "serialized" = the
+    #     rounds 2-4 agent-by-agent unroll (exact, A x slower). ---
+    share_mode: str = "batched"
+
+    # --- Encoder variant switches (env/features.py docstring; the three
+    #     acknowledged-unverified reconstructions of the HFO client's
+    #     low-level encoder, each flippable without a code change) ---
+    center_field_mark: str = "pitch_center"   # | "half_field_center"
+    oob_feature_norm: str = "linear_clip"     # | "hfo_prox"
+    player_block_variant: str = "body_rel_raw_unum"  # | "global_norm_unum"
+
     # --- Net architecture override (the reference reloads an on-disk
     #     .prototxt if present, dqn_main.cpp:231-246; here: explicit flags) ---
     actor_tower: str = "1024,512,256,128"
@@ -127,6 +141,16 @@ class RunConfig:
         if self.seed == 0:
             import time
             self.seed = int(time.time()) & 0x7FFFFFFF
+        for flag, allowed in (
+                ("share_mode", ("batched", "serialized")),
+                ("center_field_mark", ("pitch_center", "half_field_center")),
+                ("oob_feature_norm", ("linear_clip", "hfo_prox")),
+                ("player_block_variant",
+                 ("body_rel_raw_unum", "global_norm_unum"))):
+            if getattr(self, flag) not in allowed:
+                raise ValueError(
+                    f"--{flag} must be one of {allowed}, "
+                    f"got {getattr(self, flag)!r}")
 
     def tower(self, which: str) -> tuple:
         """Parse an {actor,critic}_tower CSV into hidden-layer widths."""

@@ -257,3 +257,68 @@ class TestPublishedLayout:
         # out-of-range feature (teammate unums follow the observer's)
         assert blk[8] == float(np.asarray(o[59 + 8]))
         assert blk[8] >= 1.0  # raw unum, not squashed into [-1, 1]
+
+
+class TestEncoderVariants:
+    """The three unverified-encoding switches (EnvConfig.center_field_mark /
+    oob_feature_norm / player_block_variant) must (a) change only their own
+    feature block and (b) NEVER touch the reward-critical indices 12-15 /
+    51-55 (hfo_game.cpp:131-152)."""
+
+    REWARD_CRITICAL = list(range(12, 16)) + list(range(51, 56))
+
+    def _pair(self, default_cfg, variant_cfg, seed=3):
+        env, s, _ = reset(default_cfg, seed=seed, noise=1.0)
+        env2 = HFOEnv(variant_cfg, DEFAULT_PARAMS, noise_scale=1.0)
+        o1 = np.asarray(observe(DEFAULT_PARAMS, env.cfg, s, 0))
+        o2 = np.asarray(observe(DEFAULT_PARAMS, env2.cfg, s, 0))
+        return o1, o2
+
+    def _assert_block(self, o1, o2, changed_lo, changed_hi):
+        np.testing.assert_array_equal(o1[self.REWARD_CRITICAL],
+                                      o2[self.REWARD_CRITICAL])
+        assert not np.array_equal(o1[changed_lo:changed_hi],
+                                  o2[changed_lo:changed_hi]), \
+            "variant had no effect on its own block"
+        outside = np.ones(o1.shape[0], bool)
+        outside[changed_lo:changed_hi] = False
+        np.testing.assert_array_equal(o1[outside], o2[outside])
+
+    def test_center_field_mark(self):
+        base = EnvConfig()
+        var = dataclasses.replace(base,
+                                  center_field_mark="half_field_center")
+        o1, o2 = self._pair(base, var)
+        # landmark #6 triple = indices 31-33
+        self._assert_block(o1, o2, 31, 34)
+
+    def test_oob_feature_norm(self):
+        base = EnvConfig()
+        var = dataclasses.replace(base, oob_feature_norm="hfo_prox")
+        o1, o2 = self._pair(base, var)
+        self._assert_block(o1, o2, 46, 50)
+
+    def test_player_block_variant(self):
+        base = EnvConfig(offense_agents=1, defense_npcs=1)
+        var = dataclasses.replace(base,
+                                  player_block_variant="global_norm_unum")
+        o1, o2 = self._pair(base, var)
+        self._assert_block(o1, o2, 59, 68)
+
+    def test_cli_flags_reach_env_config(self):
+        from dqn_hfo_tpu.runtime.config import parse_args
+        from dqn_hfo_tpu.runtime.loop import make_env_config
+        cfg = parse_args(["--save", "x",
+                          "--center_field_mark", "half_field_center",
+                          "--oob_feature_norm", "hfo_prox",
+                          "--player_block_variant", "global_norm_unum"])
+        ec = make_env_config(cfg)
+        assert ec.center_field_mark == "half_field_center"
+        assert ec.oob_feature_norm == "hfo_prox"
+        assert ec.player_block_variant == "global_norm_unum"
+
+    def test_bad_flag_value_rejected(self):
+        import pytest
+        from dqn_hfo_tpu.runtime.config import RunConfig
+        with pytest.raises(ValueError, match="oob_feature_norm"):
+            RunConfig(save="x", oob_feature_norm="nope")
