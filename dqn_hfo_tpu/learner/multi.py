@@ -10,9 +10,30 @@ Reference mechanisms mapped (SURVEY.md §2 P1-P3):
   means every agent samples the whole buffer, "unshared" restricts each
   agent to its own column block.  No locks: updates are pure.
 - P3 cross-agent parameter sharing (ShareData on the first N param-bearing
-  layers, agent 0 owner; dqn.cpp:1037-1079) -> after each agent's Adam step,
-  the shared prefix is propagated to the next agent, serializing the
-  concurrent-mutation semantics of the reference deterministically.
+  layers, agent 0 owner; dqn.cpp:1037-1079) -> two modes
+  (MultiConfig.share_mode):
+
+  * "batched" (default): every agent computes its update in ONE vmapped
+    program from the SAME shared-prefix value, then the prefix deltas are
+    summed once per iteration (prefix' = prefix + sum_a delta_a) and
+    broadcast back.  This is the deterministic analogue of what the
+    reference actually does: its agent threads mutate the ShareData blobs
+    CONCURRENTLY with no synchronization (dqn.cpp:1037-1046), so each
+    thread's gradient is computed at whatever (stale) prefix value it last
+    read and the updates race onto the shared storage.  Reading one common
+    prefix per iteration and accumulating all deltas reproduces that
+    stale-read/accumulate semantics reproducibly — and runs the A agents'
+    matmuls as one batched program (A x minibatch rows on the MXU) instead
+    of a Python unroll whose cost grows linearly in A.
+  * "serialized": agent a's step starts from the prefix agent a-1 just
+    wrote (rounds 2-4 semantics; exact, order-dependent, A x slower).
+    The two modes agree to first order in the learning rate — pinned under
+    SGD, where the statement is exact
+    (tests/test_multiagent.py::TestShareModes); under Adam the
+    per-coordinate normalization amplifies the cross-agent staleness term
+    into a direction-only agreement, so the Adam-path validation is
+    capability-level: the 2v2 sharing ablation replicated with
+    share_mode="batched" (RESULTS.md round 5).
 
 HFO trials end for all agents simultaneously (one referee), so the done
 mask is per-env and broadcasts across the agent axis.
@@ -45,6 +66,11 @@ class MultiConfig:
     share_actor_layers: int = 0
     share_critic_layers: int = 0
     share_replay: bool = False
+    # "batched": one vmapped program + once-per-iteration prefix delta sum
+    # (the module docstring's deterministic analogue of the reference's
+    # unsynchronized-concurrent ShareData mutation).  "serialized": the
+    # rounds 2-4 agent-by-agent unroll.
+    share_mode: str = "batched"
 
 
 def init_multi_learner(key, dcfg: DDPGConfig, mcfg: MultiConfig):
@@ -83,6 +109,37 @@ def _copy_shared(src, dst, n_layers: int):
             out["tower"][path[1]] = src["tower"][path[1]]
         else:
             out[path[0]] = src[path[0]]
+    return out
+
+
+def _reconcile_shared(base_stacked, new_stacked, n_layers: int):
+    """Batched-share reconciliation of one net's stacked params.
+
+    Entering the iteration, every agent's shared prefix holds the SAME
+    value (invariant maintained by init/_broadcast_shared and by this
+    function's broadcast).  Each agent then applied its own Adam update to
+    its copy; the reconciled prefix accumulates all of them:
+        prefix' = prefix + sum_a (prefix_a_new - prefix)
+    and is broadcast back to every agent.  Non-shared leaves keep their
+    per-agent values untouched."""
+    if n_layers <= 0:
+        return new_stacked
+    template = jax.tree_util.tree_map(lambda x: x[0], new_stacked)
+    out = dict(new_stacked)
+    out["tower"] = list(new_stacked["tower"])
+    for p in _shared_leaf_paths(template, n_layers):
+        if p[0] == "tower":
+            sub_b, sub_n = base_stacked["tower"][p[1]], out["tower"][p[1]]
+        else:
+            sub_b, sub_n = base_stacked[p[0]], out[p[0]]
+        fixed = jax.tree_util.tree_map(
+            lambda b, nw: jnp.broadcast_to(
+                (b[0] + jnp.sum(nw - b[0][None], axis=0))[None], nw.shape),
+            sub_b, sub_n)
+        if p[0] == "tower":
+            out["tower"][p[1]] = fixed
+        else:
+            out[p[0]] = fixed
     return out
 
 
@@ -270,9 +327,8 @@ def multi_update_once(mls: LearnerState, replay: rp.ReplayState,
     transition indices and `has_data` ((A,) bool) the per-agent-view
     data-holding flags — multi_update_n hoists both out of its scan."""
     A = mcfg.n_agents
-    idxs = [None] * A if idx is None else idx
-    flags = [None] * A if has_data is None else has_data
-    if mcfg.share_actor_layers == 0 and mcfg.share_critic_layers == 0:
+    shared = mcfg.share_actor_layers > 0 or mcfg.share_critic_layers > 0
+    if not shared or mcfg.share_mode == "batched":
         if idx is None:
             def one(ls_a, a):
                 view = _agent_replay_view(replay, a, A, mcfg.share_replay)
@@ -290,9 +346,28 @@ def multi_update_once(mls: LearnerState, replay: rp.ReplayState,
                 return update_once(ls_a, replay, dcfg, axis_name,
                                    idx=idx_a, has_data=hd_a)
 
-            stacked, (closs, avg_q, finite) = jax.vmap(one)(mls, idx, flags)
+            stacked, (closs, avg_q, finite) = jax.vmap(one)(mls, idx,
+                                                            has_data)
+        if shared:
+            # once-per-iteration prefix reconciliation (_reconcile_shared):
+            # all A agents read the same prefix, their deltas accumulate.
+            stacked = stacked._replace(
+                actor=_reconcile_shared(mls.actor, stacked.actor,
+                                        mcfg.share_actor_layers),
+                critic=_reconcile_shared(mls.critic, stacked.critic,
+                                         mcfg.share_critic_layers),
+                actor_target=_reconcile_shared(mls.actor_target,
+                                               stacked.actor_target,
+                                               mcfg.share_actor_layers),
+                critic_target=_reconcile_shared(mls.critic_target,
+                                                stacked.critic_target,
+                                                mcfg.share_critic_layers),
+            )
         return stacked, (jnp.mean(closs), jnp.mean(avg_q), jnp.all(finite))
 
+    # --- share_mode == "serialized" (rounds 2-4 exact semantics) ---------
+    idxs = [None] * A if idx is None else idx
+    flags = [None] * A if has_data is None else has_data
     per_agent = [jax.tree_util.tree_map(lambda x: x[a], mls)
                  for a in range(A)]
     metrics = []

@@ -69,6 +69,9 @@ def make_env_config(cfg: RunConfig) -> EnvConfig:
         ball_x_min=cfg.ball_x_min,
         ball_x_max=cfg.ball_x_max,
         offense_on_ball=cfg.offense_on_ball,
+        center_field_mark=cfg.center_field_mark,
+        oob_feature_norm=cfg.oob_feature_norm,
+        player_block_variant=cfg.player_block_variant,
     )
 
 
@@ -189,6 +192,7 @@ class Trainer:
                 share_actor_layers=cfg.share_actor_layers,
                 share_critic_layers=cfg.share_critic_layers,
                 share_replay=cfg.share_replay_memory,
+                share_mode=cfg.share_mode,
             )
             self.learner = init_multi_learner(k_learn, self.dcfg, self.mcfg)
             self.replay = rp.init_replay(
@@ -265,6 +269,7 @@ class Trainer:
                 share_actor_layers=cfg.share_actor_layers,
                 share_critic_layers=cfg.share_critic_layers,
                 share_replay=cfg.share_replay_memory,
+                share_mode=cfg.share_mode,
             )
             self.learner = init_multi_learner(k_learn, self.dcfg, self.mcfg)
             mcfg = self.mcfg
@@ -389,6 +394,11 @@ class Trainer:
                 paths = ckpt.snapshot(
                     prefix or cfg.save, self.learner, None,
                     snapshot_memory=False, remove_old=rm_old)
+                if snap_mem:
+                    # Marker written LAST: certifies shards (barrier above)
+                    # + learner files; resume skips unmarked partial sets
+                    # (ckpt.mark_snapshot_complete docstring).
+                    ckpt.mark_snapshot_complete(prefix or cfg.save, it)
                 self.log.info(f"Snapshotting Finished! ({paths[0]})")
             return
         replay = self.replay

@@ -15,6 +15,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -81,10 +82,17 @@ class TestOneDeviceMeshBitwise:
         np.testing.assert_array_equal(np.asarray(ref_m["critic_loss"]),
                                       np.asarray(dp_m["critic_loss"]))
 
-    def test_multi_update_n_sharing_1device_mesh_equals_unsharded(self):
+    @pytest.mark.parametrize("mode", ["serialized", "batched"])
+    def test_multi_update_n_sharing_1device_mesh_equals_unsharded(self, mode):
+        """serialized: bitwise (the sharing step is pure copies, so the
+        mesh/unsharded programs fuse identically).  batched: the
+        once-per-iteration prefix delta-sum is new arithmetic whose fusion
+        XLA orders differently inside shard_map — equality holds to f32
+        ULP (observed max 3e-12 absolute), pinned at atol 1e-9."""
         cfg = small_cfg(minibatch=16)
         mcfg = MultiConfig(n_agents=2, share_actor_layers=2,
-                           share_critic_layers=1, share_replay=True)
+                           share_critic_layers=1, share_replay=True,
+                           share_mode=mode)
         mls = init_multi_learner(jax.random.PRNGKey(2), cfg, mcfg)
         rs = synth_replay(jax.random.PRNGKey(3), E=8)  # (A=2) x (E=4) cols
 
@@ -100,7 +108,12 @@ class TestOneDeviceMeshBitwise:
             out_specs=(P(), P()), check_vma=False)
         dp_ls, dp_m = jax.jit(fn)(mls, rs, jnp.asarray([3], jnp.int32))
 
-        tree_assert(np.testing.assert_array_equal, ref_ls, dp_ls)
+        if mode == "serialized":
+            tree_assert(np.testing.assert_array_equal, ref_ls, dp_ls)
+        else:
+            tree_assert(
+                functools.partial(np.testing.assert_allclose,
+                                  rtol=0, atol=1e-9), ref_ls, dp_ls)
         assert int(ref_m["updates"]) == int(dp_m["updates"]) == 3
 
 

@@ -166,6 +166,103 @@ class Test3v3:
         assert not np.allclose(ph[0], ph[1])
 
 
+class TestShareModes:
+    """P3 sharing has two update modes (multi.py module docstring):
+    "batched" (default; one vmapped program, prefix deltas summed once per
+    iteration — the deterministic analogue of the reference's concurrent
+    unsynchronized ShareData mutation, dqn.cpp:1037-1046) and "serialized"
+    (rounds 2-4 agent-by-agent unroll).  They are NOT bitwise-identical —
+    serialized computes agent a's gradient at the prefix agent a-1 just
+    wrote — but must agree to first order in the learning rate."""
+
+    def _run(self, mode, n_updates=8, seed=0):
+        env = HFOEnv(EnvConfig(offense_agents=A), SP, noise_scale=1.0)
+        venv = VecHFOEnv(env, E)
+        dcfg = DDPGConfig(state_size=env.cfg.state_size, memory_threshold=32)
+        mcfg = MultiConfig(n_agents=A, share_actor_layers=2,
+                           share_critic_layers=2, share_mode=mode)
+        mls = init_multi_learner(jax.random.PRNGKey(seed), dcfg, mcfg)
+        rs = rp.init_replay(A * E * 256, A * E, dcfg.state_size)
+        cs = init_multi_collector(venv, jax.random.PRNGKey(seed + 1), K, A)
+        roll = jax.jit(functools.partial(
+            multi_rollout_chunk, venv=venv, chunk_len=K, gamma=dcfg.gamma,
+            n_agents=A))
+        for _ in range(3):
+            cs, rs, _ = roll(cs, rs, mls.actor, jnp.asarray(1.0))
+        upd = jax.jit(functools.partial(
+            multi_update_n, dcfg=dcfg, mcfg=mcfg, max_updates=n_updates))
+        mls0 = mls
+        mls, um = upd(mls, rs, n_updates=jnp.asarray(n_updates))
+        assert int(um["updates"]) == n_updates
+        return mls0, mls
+
+    def test_batched_prefix_stays_identical_and_moves(self):
+        mls0, mls = self._run("batched")
+        for i in (0, 1):
+            w = np.asarray(mls.actor["tower"][i]["w"])
+            np.testing.assert_array_equal(w[0], w[1])
+            wc = np.asarray(mls.critic["tower"][i]["w"])
+            np.testing.assert_array_equal(wc[0], wc[1])
+        assert not np.allclose(np.asarray(mls0.actor["tower"][0]["w"]),
+                               np.asarray(mls.actor["tower"][0]["w"]))
+        # unshared layers diverge between agents
+        w3 = np.asarray(mls.actor["tower"][2]["w"])
+        assert not np.allclose(w3[0], w3[1])
+
+    def test_serialized_prefix_stays_identical(self):
+        _, mls = self._run("serialized")
+        for i in (0, 1):
+            w = np.asarray(mls.actor["tower"][i]["w"])
+            np.testing.assert_array_equal(w[0], w[1])
+
+    def _run_sgd(self, mode, lr):
+        """One update burst under plain SGD (no momentum, no Adam
+        normalization) — the regime where the serialized/batched gap is
+        provably second-order: gap = lr * (g(P + d0) - g(P)) = O(lr^2)
+        while the move itself is O(lr)."""
+        env = HFOEnv(EnvConfig(offense_agents=A), SP, noise_scale=1.0)
+        venv = VecHFOEnv(env, E)
+        dcfg = DDPGConfig(state_size=env.cfg.state_size, memory_threshold=32,
+                          solver="sgd", momentum=0.0, actor_lr=lr,
+                          critic_lr=lr, tau=0.0)
+        mcfg = MultiConfig(n_agents=A, share_actor_layers=2,
+                           share_critic_layers=2, share_mode=mode)
+        mls = init_multi_learner(jax.random.PRNGKey(0), dcfg, mcfg)
+        rs = rp.init_replay(A * E * 256, A * E, dcfg.state_size)
+        cs = init_multi_collector(venv, jax.random.PRNGKey(1), K, A)
+        roll = jax.jit(functools.partial(
+            multi_rollout_chunk, venv=venv, chunk_len=K, gamma=dcfg.gamma,
+            n_agents=A))
+        for _ in range(3):
+            cs, rs, _ = roll(cs, rs, mls.actor, jnp.asarray(1.0))
+        upd = jax.jit(functools.partial(
+            multi_update_n, dcfg=dcfg, mcfg=mcfg, max_updates=1))
+        mls0 = mls
+        mls, _ = upd(mls, rs, n_updates=jnp.asarray(1))
+        return mls0, mls
+
+    def test_modes_agree_to_first_order_sgd(self):
+        """Serialized computes agent 1's gradient at the prefix agent 0
+        just wrote; batched computes it at the common starting prefix.
+        Under SGD the resulting gap is second order in the lr, so at a
+        small lr it must vanish relative to the update itself.  (Under
+        Adam the per-coordinate normalization amplifies early-training
+        sign flips and the modes only agree in direction — the
+        capability-level check for the Adam path is the committed 2v2
+        sharing ablation run with share_mode=batched, RESULTS.md r5.)"""
+        mls0_b, mls_b = self._run_sgd("batched", lr=1e-4)
+        _, mls_s = self._run_sgd("serialized", lr=1e-4)
+        for net in ("actor", "critic"):
+            for i in (0, 1):
+                w0 = np.asarray(getattr(mls0_b, net)["tower"][i]["w"])[0]
+                wb = np.asarray(getattr(mls_b, net)["tower"][i]["w"])[0]
+                ws = np.asarray(getattr(mls_s, net)["tower"][i]["w"])[0]
+                move = np.linalg.norm(ws - w0)
+                gap = np.linalg.norm(wb - ws)
+                assert move > 0.0
+                assert gap < 0.01 * move, (net, i, gap, move, gap / move)
+
+
 class TestPresampledMultiUpdate:
     """multi_update_n hoists per-agent replay sampling out of its scan
     (multi_presample: one validity prefix-sum per agent per burst — the
