@@ -166,6 +166,37 @@ def bench_train(n_envs: int, chunk_len: int, update_ratio: float = 0.1,
     return steps / dt, upd_ms
 
 
+def bench_train_2v2():
+    """Multi-agent coupled rate on the RESULTS.md 2v2 sharing config (2
+    learners vs keeper + agent2d defender, first-4-layer actor+critic
+    sharing + shared replay, 64 envs, mid-level actions), driven through
+    the production Trainer superstep.  This is the path the round-4
+    advisor flagged as the slowest production rate (22.8k env-steps/s
+    with the serialized share unroll); round 5's batched share mode runs
+    it as one vmapped program (learner/multi.py)."""
+    import jax.numpy as jnp
+
+    from dqn_hfo_tpu.runtime.config import RunConfig
+    from dqn_hfo_tpu.runtime.loop import Trainer
+
+    cfg = RunConfig(
+        save="", envs=64, offense_agents=2, defense_chasers=1,
+        defense_npcs=1, action_space="mid_level", share_actor_layers=4,
+        share_critic_layers=4, share_replay_memory=True,
+        max_iter=10**9, evaluate_freq=12_800, snapshot_freq=10**9,
+        snapshot_memory=False, seed=3)
+    t = Trainer(cfg)
+    n = jnp.asarray(t.max_chunks, jnp.int32)
+    ls, cs, rep = t.learner, t.collector, t.replay
+    ls, cs, rep, rows = t._superstep(ls, cs, rep, n)   # fill + compile
+    jax.block_until_ready(rows["iter"])
+    t0 = time.perf_counter()
+    ls, cs, rep, rows = t._superstep(ls, cs, rep, n)
+    jax.block_until_ready(rows["iter"])
+    dt = time.perf_counter() - t0
+    return t.max_chunks * cfg.envs * cfg.chunk_len / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -238,6 +269,14 @@ def main():
                       file=sys.stderr)
                 extra[f"train_env_steps_per_s_{tag}"] = round(sps_f)
                 extra[f"{tag}_validation"] = status
+            try:
+                sps_ma = bench_train_2v2()
+                print(f"# multi-agent coupled rate (2v2 sharing config, "
+                      f"batched share mode): {sps_ma:,.0f} env-steps/s",
+                      file=sys.stderr)
+                extra["train_env_steps_per_s_2v2_share"] = round(sps_ma)
+            except Exception as e:  # keep the headline robust
+                print(f"# 2v2 bench skipped: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "env_steps_per_s",
