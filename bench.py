@@ -143,16 +143,19 @@ def bench_train(n_envs: int, chunk_len: int, update_ratio: float = 0.1,
     # in one program (runtime/superstep.py).
     ss = jax.jit(build_superstep(
         roll_raw, lambda l, r, n: upd_raw(l, r, n_updates=n),
-        updates_per_chunk, 10_000, 0.1, n_chunks),
+        updates_per_chunk, 0.1, n_chunks),
         donate_argnums=(0, 1, 2))
+    expl = jnp.asarray(10_000, jnp.int32)
 
     # warmup: fill window + replay, compile
-    ls, cs, replay, _ = ss(ls, cs, replay, jnp.asarray(n_chunks, jnp.int32))
+    zero = jnp.asarray(0, jnp.int32)
+    ls, cs, replay, _ = ss(ls, cs, replay, jnp.asarray(n_chunks, jnp.int32),
+                           expl, zero)
     jax.block_until_ready(ls.actor)
 
     t0 = time.perf_counter()
     ls, cs, replay, rows = ss(ls, cs, replay,
-                              jnp.asarray(n_chunks, jnp.int32))
+                              jnp.asarray(n_chunks, jnp.int32), expl, zero)
     jax.block_until_ready(rows["iter"])
     dt = time.perf_counter() - t0
     steps = n_chunks * n_envs * chunk_len
@@ -187,11 +190,13 @@ def bench_train_2v2():
         snapshot_memory=False, seed=3)
     t = Trainer(cfg)
     n = jnp.asarray(t.max_chunks, jnp.int32)
+    ex = jnp.asarray(t._explore, jnp.int32)
     ls, cs, rep = t.learner, t.collector, t.replay
-    ls, cs, rep, rows = t._superstep(ls, cs, rep, n)   # fill + compile
+    z = jnp.asarray(0, jnp.int32)
+    ls, cs, rep, rows = t._superstep(ls, cs, rep, n, ex, z)  # fill + compile
     jax.block_until_ready(rows["iter"])
     t0 = time.perf_counter()
-    ls, cs, rep, rows = t._superstep(ls, cs, rep, n)
+    ls, cs, rep, rows = t._superstep(ls, cs, rep, n, ex, z)
     jax.block_until_ready(rows["iter"])
     dt = time.perf_counter() - t0
     return t.max_chunks * cfg.envs * cfg.chunk_len / dt

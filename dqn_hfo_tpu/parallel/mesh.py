@@ -190,22 +190,25 @@ class DataParallel:
         return jax.device_put(ls, sharding)
 
     # ------------------------------------------------------------ superstep
-    def build_superstep(self, updates_per_chunk: int, explore: int,
+    def build_superstep(self, updates_per_chunk: int,
                         final_epsilon: float, max_chunks: int):
         """Fused multi-chunk DP train step — the runtime/superstep.py program
         inside one shard_map: scan up to max_chunks (rollout + pmean'd
         updates) chunks with the epsilon schedule in-graph, returning the
         same (max_chunks, ...) metric rows schema the host loop consumes.
+        `explore` / `anneal_start` are runtime scalars (replicated), as in
+        runtime/superstep.py — the adaptive anneal restart needs no
+        recompile.
         """
         from dqn_hfo_tpu.learner.agent import calculate_epsilon
 
         n_up = jnp.asarray(updates_per_chunk, jnp.int32)
         n_shards = self.n_shards
 
-        def one_chunk(carry):
+        def one_chunk(carry, explore, anneal_start):
             ls, cs, rs = carry
-            eps = calculate_epsilon(jnp.max(ls.iteration), explore,
-                                    final_epsilon)
+            eff_iter = jnp.maximum(jnp.max(ls.iteration) - anneal_start, 0)
+            eps = calculate_epsilon(eff_iter, explore, final_epsilon)
             if self.mcfg is None:
                 cs, rs, m = rollout_chunk(
                     cs, rs, ls.actor, eps, self.venv_shard, self.chunk_len,
@@ -233,15 +236,16 @@ class DataParallel:
             out["active"] = jnp.asarray(True)
             return (ls, cs, rs), out
 
-        def superstep_local(ls, cs, rs, n_active):
+        def superstep_local(ls, cs, rs, n_active, explore, anneal_start):
             carry = (ls, cs, rs)
-            out_sds = jax.eval_shape(lambda c: one_chunk(c)[1], carry)
+            chunk = lambda c: one_chunk(c, explore[0], anneal_start[0])
+            out_sds = jax.eval_shape(lambda c: chunk(c)[1], carry)
             zeros = jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype), out_sds)
             zeros["u_finite"] = jnp.asarray(True)
 
             def body(carry, i):
-                return jax.lax.cond(i < n_active[0], one_chunk,
+                return jax.lax.cond(i < n_active[0], chunk,
                                     lambda c: (c, zeros), carry)
 
             carry, rows = jax.lax.scan(
@@ -251,15 +255,17 @@ class DataParallel:
 
         fn = shard_map(
             superstep_local, mesh=self.mesh,
-            in_specs=(P(), self._cspecs, self._rspecs, P()),
+            in_specs=(P(), self._cspecs, self._rspecs, P(), P(), P()),
             out_specs=(P(), self._cspecs, self._rspecs, P()),
             check_vma=False,
         )
         jfn = jax.jit(fn, donate_argnums=(0, 1, 2))
 
-        def superstep(ls, cs, rs, n_active):
+        def superstep(ls, cs, rs, n_active, explore, anneal_start):
             return jfn(ls, cs, rs,
-                       jnp.asarray(n_active, jnp.int32)[None])
+                       jnp.asarray(n_active, jnp.int32)[None],
+                       jnp.asarray(explore, jnp.int32)[None],
+                       jnp.asarray(anneal_start, jnp.int32)[None])
 
         return superstep
 

@@ -98,6 +98,15 @@ class RunConfig:
     # --- Action space: low_level (reference parity) or mid_level macros ---
     action_space: str = "low_level"
 
+    # --- Adaptive exploration (runtime/loop.py _maybe_restart_anneal):
+    #     restart the epsilon anneal when evaluation stagnates below the
+    #     threshold after the anneal finished (best eval < threshold, no
+    #     +0.05 improvement for `stale` consecutive evals).  0 disables
+    #     (reference semantics: fixed --explore, dqn_main.cpp:65-71). ---
+    explore_adaptive_threshold: float = 0.0
+    explore_adaptive_stale: int = 5
+    explore_adaptive_max_restarts: int = 3
+
     # --- Multi-agent layer-sharing update mode (learner/multi.py P3):
     #     "batched" = one vmapped program, prefix deltas summed per
     #     iteration (deterministic analogue of the reference's concurrent

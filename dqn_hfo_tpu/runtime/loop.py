@@ -220,15 +220,23 @@ class Trainer:
         self.max_chunks = max(1, min(64, math.ceil(
             min(cfg.evaluate_freq, cfg.snapshot_freq, cfg.max_iter)
             / max(self.updates_per_chunk, 1))))
+        # Exploration anneal — host-tracked so the adaptive restart rule
+        # (_maybe_restart_anneal) can change it between supersteps; both
+        # values enter the jitted superstep as runtime scalars (no
+        # recompile on change).
+        self._explore = cfg.explore
+        self._anneal_start = 0
+        self._adaptive_best = 0.0
+        self._adaptive_stale = 0
+        self._adaptive_restarts = 0
         if self.use_dp:
             self._superstep = self.dp.build_superstep(
-                self.updates_per_chunk, cfg.explore, cfg.epsilon,
-                self.max_chunks)
+                self.updates_per_chunk, cfg.epsilon, self.max_chunks)
         else:
             from dqn_hfo_tpu.runtime.superstep import build_superstep
             self._superstep = jax.jit(
                 build_superstep(_roll_raw, _upd_fn, self.updates_per_chunk,
-                                cfg.explore, cfg.epsilon, self.max_chunks),
+                                cfg.epsilon, self.max_chunks),
                 donate_argnums=(0, 1, 2))
 
         eval_env = VecHFOEnv(self.env, cfg.repeat_games)
@@ -412,6 +420,47 @@ class Trainer:
         )
         self.log.info(f"Snapshotting Finished! ({paths[0]})")
 
+    def _maybe_restart_anneal(self, score: float, it: int) -> bool:
+        """Adaptive exploration (--explore_adaptive_threshold): the round-4
+        plateau probe showed the sub-0.5 agent2d seeds are exploration-
+        commitment artifacts — more exploration fixes them — while more
+        exploration from the START delays seeds that did not need it
+        (round-5 explore-40k table: seed 4 fell 0.94 -> 0.58).  The
+        adaptive rule restarts the epsilon anneal (epsilon back to 1.0,
+        annealing over --explore iters from the current iteration) only on
+        a detected STAGNATION: the anneal has finished, the best
+        evaluation so far sits below the threshold, and no evaluation has
+        improved it by >= 0.05 for --explore_adaptive_stale consecutive
+        evals.  Restart count capped by --explore_adaptive_max_restarts.
+        Host values only — the superstep takes (explore, anneal_start) as
+        traced scalars, so a restart costs no recompile."""
+        cfg = self.cfg
+        thr = cfg.explore_adaptive_threshold
+        if thr <= 0:
+            return False
+        if score > self._adaptive_best + 0.05:
+            self._adaptive_best = score
+            self._adaptive_stale = 0
+            return False
+        self._adaptive_stale += 1
+        if (self._adaptive_best < thr
+                and self._adaptive_stale >= cfg.explore_adaptive_stale
+                and it >= self._anneal_start + self._explore
+                and self._adaptive_restarts
+                < cfg.explore_adaptive_max_restarts):
+            self._anneal_start = it
+            self._adaptive_stale = 0
+            self._adaptive_restarts += 1
+            self.log.info(
+                f"Adaptive exploration: best goal_perc {self._adaptive_best}"
+                f" < {thr} with no improvement for "
+                f"{cfg.explore_adaptive_stale} evals; restarting the "
+                f"epsilon anneal at iter {it} "
+                f"(restart {self._adaptive_restarts}/"
+                f"{cfg.explore_adaptive_max_restarts})")
+            return True
+        return False
+
     # ----------------------------------------------------------------- modes
     def _check_finite(self, um):
         """Run-aborting finite guard — the reference CHECKs every target and
@@ -487,7 +536,9 @@ class Trainer:
             t0 = time.time()
             self.learner, self.collector, self.replay, rows = \
                 self._superstep(self.learner, self.collector, self.replay,
-                                jnp.asarray(n_active, jnp.int32))
+                                jnp.asarray(n_active, jnp.int32),
+                                jnp.asarray(self._explore, jnp.int32),
+                                jnp.asarray(self._anneal_start, jnp.int32))
             # ONE blocking fetch for the whole superstep's metric rows.
             rows = jax.tree_util.tree_map(np.asarray, rows)
             if profiling:
@@ -513,6 +564,7 @@ class Trainer:
                 if cfg.record_dir:
                     self._record(it)
                 score = em["goal_perc"]
+                self._maybe_restart_anneal(score, it)
                 if score > self.best_score and cfg.save:
                     self.log.info(
                         f"New High Score: {score}, actor_iter = {it}, "

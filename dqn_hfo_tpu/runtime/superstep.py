@@ -26,11 +26,19 @@ from dqn_hfo_tpu.learner.agent import calculate_epsilon
 
 
 def build_superstep(roll_fn, update_fn, updates_per_chunk: int,
-                    explore: int, final_epsilon: float, max_chunks: int):
-    """Returns superstep(ls, cs, replay, n_active) -> (ls, cs, replay, rows).
+                    final_epsilon: float, max_chunks: int):
+    """Returns superstep(ls, cs, replay, n_active, explore)
+    -> (ls, cs, replay, rows).
 
     roll_fn(cs, replay, actor_params, epsilon) -> (cs, replay, metrics)
     update_fn(ls, replay, n_updates)           -> (ls, update_metrics)
+
+    `explore` (anneal length in iterations, dqn_main.cpp:65-71) and
+    `anneal_start` (iteration the anneal counts from, 0 in the reference
+    schedule) are RUNTIME scalars, not baked constants, so the host loop's
+    adaptive anneal restart (runtime/loop.py,
+    --explore_adaptive_threshold) changes the schedule without a
+    recompile: epsilon = schedule(iter - anneal_start).
 
     rows: dict of (max_chunks, ...) arrays — the rollout metrics, the update
     metrics prefixed "u_", the post-chunk learner iteration "iter", and an
@@ -38,10 +46,10 @@ def build_superstep(roll_fn, update_fn, updates_per_chunk: int,
     """
     n_up = jnp.asarray(updates_per_chunk, jnp.int32)
 
-    def one_chunk(carry):
+    def one_chunk(carry, explore, anneal_start):
         ls, cs, replay = carry
-        eps = calculate_epsilon(jnp.max(ls.iteration), explore,
-                                final_epsilon)
+        eff_iter = jnp.maximum(jnp.max(ls.iteration) - anneal_start, 0)
+        eps = calculate_epsilon(eff_iter, explore, final_epsilon)
         cs, replay, m = roll_fn(cs, replay, ls.actor, eps)
         ls, um = update_fn(ls, replay, n_up)
         out = dict(m)
@@ -50,15 +58,16 @@ def build_superstep(roll_fn, update_fn, updates_per_chunk: int,
         out["active"] = jnp.asarray(True)
         return (ls, cs, replay), out
 
-    def superstep(ls, cs, replay, n_active):
+    def superstep(ls, cs, replay, n_active, explore, anneal_start):
         carry = (ls, cs, replay)
-        out_sds = jax.eval_shape(lambda c: one_chunk(c)[1], carry)
+        chunk = lambda c: one_chunk(c, explore, anneal_start)
+        out_sds = jax.eval_shape(lambda c: chunk(c)[1], carry)
         zeros = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), out_sds)
         zeros["u_finite"] = jnp.asarray(True)  # skipped chunk is not a NaN
 
         def body(carry, i):
-            return jax.lax.cond(i < n_active, one_chunk,
+            return jax.lax.cond(i < n_active, chunk,
                                 lambda c: (c, zeros), carry)
 
         carry, rows = jax.lax.scan(

@@ -91,6 +91,60 @@ class TestMetrics:
         assert rec["kind"] == "episode" and rec["reward"] == 1.5
 
 
+class TestAdaptiveExplore:
+    """--explore_adaptive_threshold restarts the epsilon anneal when
+    evaluation STAGNATES below the threshold after the anneal finished
+    (loop._maybe_restart_anneal — the round-4 plateau probe's more-
+    exploration mechanism, applied only to seeds that show the plateau)."""
+
+    def _trainer(self, **kw):
+        cfg = RunConfig(save="", envs=8, frames_per_trial=16,
+                        untouched_time=12, max_iter=2_000_000,
+                        explore=20_000, explore_adaptive_stale=3, **kw)
+        return Trainer(cfg)
+
+    def test_disabled_by_default(self):
+        t = self._trainer()
+        for i in range(10):
+            assert not t._maybe_restart_anneal(0.0, 50_000 * (i + 1))
+        assert t._anneal_start == 0
+
+    def test_restarts_on_stagnation_only(self):
+        t = self._trainer(explore_adaptive_threshold=0.70)
+        # improving evals never trigger, even below threshold
+        assert not t._maybe_restart_anneal(0.10, 51_200)
+        assert not t._maybe_restart_anneal(0.20, 102_400)
+        assert not t._maybe_restart_anneal(0.30, 153_600)
+        # stagnation: 3 non-improving evals with best < 0.70
+        assert not t._maybe_restart_anneal(0.30, 204_800)
+        assert not t._maybe_restart_anneal(0.28, 256_000)
+        assert t._maybe_restart_anneal(0.31, 307_200)
+        assert t._anneal_start == 307_200
+        # epsilon re-anneals: effective iteration restarts from zero
+        from dqn_hfo_tpu.learner.agent import calculate_epsilon
+        eff = max(320_000 - t._anneal_start, 0)
+        assert float(calculate_epsilon(jnp.asarray(eff), 20_000, 0.1)) > 0.4
+
+    def test_good_seed_never_restarts(self):
+        t = self._trainer(explore_adaptive_threshold=0.70)
+        # a seed that climbs past the threshold: stale evals after that
+        # never trigger (best >= threshold)
+        assert not t._maybe_restart_anneal(0.75, 51_200)
+        for i in range(8):
+            assert not t._maybe_restart_anneal(0.6, 102_400 + 51_200 * i)
+        assert t._anneal_start == 0
+
+    def test_restart_cap(self):
+        t = self._trainer(explore_adaptive_threshold=0.70,
+                          explore_adaptive_max_restarts=1)
+        it = 0
+        fired = 0
+        for i in range(20):
+            it += 51_200
+            fired += bool(t._maybe_restart_anneal(0.1, it))
+        assert fired == 1 and t._adaptive_restarts == 1
+
+
 class TestCheckpoint:
     def test_snapshot_find_restore_roundtrip(self, tmp_path):
         cfg = DDPGConfig(state_size=8)

@@ -45,8 +45,8 @@ class TestSuperstepEquivalence:
     def test_matches_sequential_chunks(self):
         ls, cs, rs, roll, upd = _setup()
         S = 3
-        ss = jax.jit(build_superstep(roll, upd, UPC, 100, 0.1, S))
-        ls2, cs2, rs2, rows = ss(ls, cs, rs, jnp.asarray(S))
+        ss = jax.jit(build_superstep(roll, upd, UPC, 0.1, S))
+        ls2, cs2, rs2, rows = ss(ls, cs, rs, jnp.asarray(S), jnp.asarray(100), jnp.asarray(0))
 
         # sequential reference path, same epsilon schedule
         roll_j, upd_j = jax.jit(roll), jax.jit(upd)
@@ -77,8 +77,8 @@ class TestSuperstepEquivalence:
     def test_inactive_tail_chunks_are_skipped(self):
         ls, cs, rs, roll, upd = _setup()
         S = 4
-        ss = jax.jit(build_superstep(roll, upd, UPC, 100, 0.1, S))
-        ls2, cs2, rs2, rows = ss(ls, cs, rs, jnp.asarray(2))
+        ss = jax.jit(build_superstep(roll, upd, UPC, 0.1, S))
+        ls2, cs2, rs2, rows = ss(ls, cs, rs, jnp.asarray(2), jnp.asarray(100), jnp.asarray(0))
         assert list(np.asarray(rows["active"])) == [True, True, False, False]
         assert int(ls2.iteration) == 2 * UPC
         # skipped rows are zero-filled with finite=True
