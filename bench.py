@@ -169,7 +169,8 @@ def bench_train(n_envs: int, chunk_len: int, update_ratio: float = 0.1,
     return steps / dt, upd_ms
 
 
-def bench_train_2v2():
+def bench_train_2v2(envs: int = 64, frames_per_trial: int = 500,
+                    evaluate_freq: int = 12_800):
     """Multi-agent coupled rate on the RESULTS.md 2v2 sharing config (2
     learners vs keeper + agent2d defender, first-4-layer actor+critic
     sharing + shared replay, 64 envs, mid-level actions), driven through
@@ -183,10 +184,12 @@ def bench_train_2v2():
     from dqn_hfo_tpu.runtime.loop import Trainer
 
     cfg = RunConfig(
-        save="", envs=64, offense_agents=2, defense_chasers=1,
+        save="", envs=envs, offense_agents=2, defense_chasers=1,
         defense_npcs=1, action_space="mid_level", share_actor_layers=4,
         share_critic_layers=4, share_replay_memory=True,
-        max_iter=10**9, evaluate_freq=12_800, snapshot_freq=10**9,
+        frames_per_trial=frames_per_trial,
+        untouched_time=min(100, frames_per_trial - 8),
+        max_iter=10**9, evaluate_freq=evaluate_freq, snapshot_freq=10**9,
         snapshot_memory=False, seed=3)
     t = Trainer(cfg)
     n = jnp.asarray(t.max_chunks, jnp.int32)

@@ -13,27 +13,27 @@ Reference mechanisms mapped (SURVEY.md §2 P1-P3):
   layers, agent 0 owner; dqn.cpp:1037-1079) -> two modes
   (MultiConfig.share_mode):
 
-  * "batched" (default): every agent computes its update in ONE vmapped
+  * "serialized" (default): agent a's step starts from the prefix agent
+    a-1 just wrote — the deterministic serialization of the reference's
+    concurrent ShareData mutation; exact, order-dependent, cost linear
+    in A.
+  * "batched" (opt-in): every agent computes its update in ONE vmapped
     program from the SAME shared-prefix value, then the prefix deltas are
     summed once per iteration (prefix' = prefix + sum_a delta_a) and
-    broadcast back.  This is the deterministic analogue of what the
-    reference actually does: its agent threads mutate the ShareData blobs
-    CONCURRENTLY with no synchronization (dqn.cpp:1037-1046), so each
-    thread's gradient is computed at whatever (stale) prefix value it last
-    read and the updates race onto the shared storage.  Reading one common
-    prefix per iteration and accumulating all deltas reproduces that
-    stale-read/accumulate semantics reproducibly — and runs the A agents'
-    matmuls as one batched program (A x minibatch rows on the MXU) instead
-    of a Python unroll whose cost grows linearly in A.
-  * "serialized": agent a's step starts from the prefix agent a-1 just
-    wrote (rounds 2-4 semantics; exact, order-dependent, A x slower).
-    The two modes agree to first order in the learning rate — pinned under
-    SGD, where the statement is exact
+    broadcast back — synchronous-hogwild semantics (the reference's agent
+    threads mutate the ShareData blobs concurrently with no
+    synchronization, dqn.cpp:1037-1046, so stale-read-accumulate is no
+    further from its spec than serialization is), with A-independent
+    program cost.  The two modes agree to first order in the learning
+    rate — pinned under SGD, where the statement is exact
     (tests/test_multiagent.py::TestShareModes); under Adam the
     per-coordinate normalization amplifies the cross-agent staleness term
-    into a direction-only agreement, so the Adam-path validation is
-    capability-level: the 2v2 sharing ablation replicated with
-    share_mode="batched" (RESULTS.md round 5).
+    into a direction-only agreement.  Round-5 measurements kept
+    serialized as the default: batched moved the 2v2 coupled rate not at
+    all (22.2k vs 22.8k env-steps/s — the path is latency-bound in the
+    rollout and the sequential Adam iterations, not in the unroll) and
+    its N-stale-deltas prefix dynamics underperformed on learning at A=3
+    (3v3 warm 0.28 vs 0.56 serialized; RESULTS.md round 5).
 
 HFO trials end for all agents simultaneously (one referee), so the done
 mask is per-env and broadcasts across the agent axis.
@@ -66,11 +66,17 @@ class MultiConfig:
     share_actor_layers: int = 0
     share_critic_layers: int = 0
     share_replay: bool = False
-    # "batched": one vmapped program + once-per-iteration prefix delta sum
-    # (the module docstring's deterministic analogue of the reference's
-    # unsynchronized-concurrent ShareData mutation).  "serialized": the
-    # rounds 2-4 agent-by-agent unroll.
-    share_mode: str = "batched"
+    # "serialized" (default): the agent-by-agent unroll — exact reference-
+    # order semantics.  "batched": one vmapped program + once-per-iteration
+    # prefix delta sum (the module docstring's deterministic analogue of
+    # the reference's unsynchronized-concurrent ShareData mutation).
+    # Round-5 measurements kept serialized as the default: batched did NOT
+    # move the 2v2 coupled rate (22.2k vs 22.8k env-steps/s — the path is
+    # latency-bound in the rollout and the sequential Adam iterations, not
+    # in the unroll), and its accumulate-N-stale-deltas prefix dynamics
+    # underperformed on learning at A=3 (3v3 warm: 0.28 batched vs 0.56
+    # serialized r4; 2v2: 0.50/0.22 batched vs 0.51 serialized).
+    share_mode: str = "serialized"
 
 
 def init_multi_learner(key, dcfg: DDPGConfig, mcfg: MultiConfig):

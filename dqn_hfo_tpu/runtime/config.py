@@ -108,11 +108,12 @@ class RunConfig:
     explore_adaptive_max_restarts: int = 3
 
     # --- Multi-agent layer-sharing update mode (learner/multi.py P3):
-    #     "batched" = one vmapped program, prefix deltas summed per
-    #     iteration (deterministic analogue of the reference's concurrent
-    #     ShareData mutation; A-independent cost).  "serialized" = the
-    #     rounds 2-4 agent-by-agent unroll (exact, A x slower). ---
-    share_mode: str = "batched"
+    #     "serialized" (default) = the agent-by-agent unroll, exact
+    #     reference-order semantics.  "batched" = one vmapped program,
+    #     prefix deltas summed per iteration (A-independent cost;
+    #     measured learning-weaker at A>=3 and no rate win — see
+    #     MultiConfig.share_mode). ---
+    share_mode: str = "serialized"
 
     # --- Encoder variant switches (env/features.py docstring; the three
     #     acknowledged-unverified reconstructions of the HFO client's
