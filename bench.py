@@ -170,14 +170,18 @@ def bench_train(n_envs: int, chunk_len: int, update_ratio: float = 0.1,
 
 
 def bench_train_2v2(envs: int = 64, frames_per_trial: int = 500,
-                    evaluate_freq: int = 12_800):
+                    evaluate_freq: int = 12_800, minibatch: int = 32,
+                    update_ratio: float = 0.1):
     """Multi-agent coupled rate on the RESULTS.md 2v2 sharing config (2
     learners vs keeper + agent2d defender, first-4-layer actor+critic
     sharing + shared replay, 64 envs, mid-level actions), driven through
-    the production Trainer superstep.  This is the path the round-4
-    advisor flagged as the slowest production rate (22.8k env-steps/s
-    with the serialized share unroll); round 5's batched share mode runs
-    it as one vmapped program (learner/multi.py)."""
+    the production Trainer superstep.  The round-4 advisor flagged this
+    as the slowest production rate (22.8k env-steps/s); round 5 showed
+    the path is LATENCY-bound (3200 sequential batch-32 update iterations
+    per chunk + the 64-env rollout), not unroll-bound — the vmapped
+    batched share mode left the rate unchanged, and the validated lever
+    is the fast mode (minibatch=1024, update_ratio=0.0125: 8x fewer
+    sequential update steps at 4x the gradient-sample budget)."""
     import jax.numpy as jnp
 
     from dqn_hfo_tpu.runtime.config import RunConfig
@@ -189,6 +193,7 @@ def bench_train_2v2(envs: int = 64, frames_per_trial: int = 500,
         share_critic_layers=4, share_replay_memory=True,
         frames_per_trial=frames_per_trial,
         untouched_time=min(100, frames_per_trial - 8),
+        minibatch=minibatch, update_ratio=update_ratio,
         max_iter=10**9, evaluate_freq=evaluate_freq, snapshot_freq=10**9,
         snapshot_memory=False, seed=3)
     t = Trainer(cfg)
@@ -280,9 +285,19 @@ def main():
             try:
                 sps_ma = bench_train_2v2()
                 print(f"# multi-agent coupled rate (2v2 sharing config, "
-                      f"batched share mode): {sps_ma:,.0f} env-steps/s",
-                      file=sys.stderr)
+                      f"serialized share semantics, parity b32): "
+                      f"{sps_ma:,.0f} env-steps/s", file=sys.stderr)
                 extra["train_env_steps_per_s_2v2_share"] = round(sps_ma)
+                # fast-mode 2v2: the validated lever for this latency-
+                # bound path (8x fewer sequential update steps, 4x the
+                # sample budget — learning status per RESULTS.md round 5)
+                sps_maf = bench_train_2v2(minibatch=1024,
+                                          update_ratio=0.0125)
+                print(f"# multi-agent coupled rate (2v2 sharing config, "
+                      f"FAST b1024 ur0.0125): {sps_maf:,.0f} env-steps/s",
+                      file=sys.stderr)
+                extra["train_env_steps_per_s_2v2_share_fast"] = \
+                    round(sps_maf)
             except Exception as e:  # keep the headline robust
                 print(f"# 2v2 bench skipped: {e!r}", file=sys.stderr)
 

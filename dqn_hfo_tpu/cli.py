@@ -27,7 +27,35 @@ def _enable_compile_cache():
         pass
 
 
+def _apply_platform_override(argv):
+    """`--platform cpu|tpu|auto` — the reference's device-selection flag
+    (DEFINE_bool(gpu, ...) + Caffe::set_mode, dqn_main.cpp:18,208-210)
+    as a JAX backend override.  Handled here, before any backend
+    initialization, because TPU plugins may pin `jax_platforms` and a
+    post-init config update is too late.  `auto` (default) keeps JAX's
+    own platform discovery.  Useful for CPU-mesh runs on hosts that also
+    carry a TPU (pair with
+    XLA_FLAGS=--xla_force_host_platform_device_count=N for a virtual
+    N-device mesh)."""
+    plat = None
+    for i, a in enumerate(list(argv)):
+        if a == "--platform" and i + 1 < len(argv):
+            plat = argv[i + 1]
+            del argv[i:i + 2]
+            break
+        if a.startswith("--platform="):
+            plat = a.split("=", 1)[1]
+            del argv[i]
+            break
+    if plat and plat != "auto":
+        import jax
+        jax.config.update("jax_platforms", plat)
+    return argv
+
+
 def main(argv=None):
+    argv = _apply_platform_override(
+        list(sys.argv[1:] if argv is None else argv))
     _enable_compile_cache()
     from dqn_hfo_tpu.parallel.distributed import maybe_initialize
     maybe_initialize()  # no-op unless multi-host env vars are present
@@ -38,4 +66,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    main()
