@@ -52,9 +52,19 @@ if [ -n "$ACTOR" ]; then
             --no-snapshot_memory --offense_agents 3 --defense_chasers 1 \
             --defense_npcs 2 --share_actor_layers 4 --share_critic_layers 4 \
             --share_replay_memory --action_space mid_level \
-            --max_iter 1600000 --explore 20000 \
+            --max_iter 1200000 --explore 20000 \
             --actor_weights $AW,$AW,$AW --critic_weights $CW,$CW,$CW"
 fi
+
+# --- 5 (moved before 4 — wall-budget priority): reference 2v1 ---------
+REF2V1="--envs 64 --evaluate_freq 25600 --snapshot_freq 1000000 \
+    --no-snapshot_memory --offense_agents 2 --defense_npcs 1 \
+    --offense_on_ball 10 --ball_x_min 0.6 \
+    --action_space mid_level --max_iter 600000 --explore 20000"
+python scripts/exps.py --save_root runs/r5_ref2v1_share2 --grid "seed=1,2" \
+  --base "$REF2V1 --share_actor_layers 2 --share_critic_layers 2"
+python scripts/exps.py --save_root runs/r5_ref2v1_noshare --grid "seed=1,2" \
+  --base "$REF2V1"
 
 # --- 4: fast-mode 2v2 (serialized share semantics) --------------------
 MA2="--defense_chasers 1 --defense_npcs 1 --action_space mid_level \
@@ -67,17 +77,5 @@ python scripts/exps.py --save_root runs/r5_fast2v2_serial --grid "seed=1,2" \
 python scripts/exps.py --save_root runs/r5_fast2v2_300k \
   --base "$MA2 --update_ratio 0.025 --max_iter 300000 --explore 5000 \
           --evaluate_freq 6400 --loss_display_iter 250 --seed 1"
-
-# --- 5: the reference's recorded 2v1 configuration --------------------
-REF2V1="--envs 64 --evaluate_freq 25600 --snapshot_freq 1000000 \
-    --no-snapshot_memory --offense_agents 2 --defense_npcs 1 \
-    --offense_on_ball 10 --ball_x_min 0.6 \
-    --action_space mid_level --max_iter 600000 --explore 20000"
-python scripts/exps.py --save_root runs/r5_ref2v1_share2 --grid "seed=1,2" \
-  --base "$REF2V1 --share_actor_layers 2 --share_critic_layers 2"
-python scripts/exps.py --save_root runs/r5_ref2v1_noshare --grid "seed=1,2" \
-  --base "$REF2V1"
-python scripts/exps.py --save_root runs/r5_ref2v1_sharedreplay \
-  --base "$REF2V1 --share_replay_memory --seed 1"
 
 echo "LADDER COMPLETE"
