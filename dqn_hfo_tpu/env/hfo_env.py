@@ -72,7 +72,7 @@ class HFOEnv:
     def reset(self, key):
         cfg, sp = self.cfg, self.sp
         P, A = cfg.n_players, cfg.offense_agents
-        kbx, kby, kpx, kpy, kdy, ktick, knext = jax.random.split(key, 7)
+        kbx, kby, kpx, kpy, kdy, ktick, khold, knext = jax.random.split(key, 8)
 
         ball_x = jax.random.uniform(
             kbx, (), F32, cfg.ball_x_min, cfg.ball_x_max
@@ -95,7 +95,14 @@ class HFOEnv:
             py = py.at[g].set(0.0)
         p_pos = jnp.stack([px, py], axis=-1)
         if cfg.offense_on_ball > 0:
-            holder = (cfg.offense_on_ball - 1) % max(cfg.n_offense, 1)
+            # HFO semantics (bin/HFO --offense-on-ball): player index if it
+            # names an existing offense player, otherwise a RANDOM offense
+            # player each episode (the reference's 2v1 runs pass 10 with 2
+            # offense agents for exactly this, train.sh:41-53).
+            if cfg.offense_on_ball > cfg.n_offense:
+                holder = jax.random.randint(khold, (), 0, cfg.n_offense)
+            else:
+                holder = cfg.offense_on_ball - 1
             p_pos = p_pos.at[holder].set(
                 ball_pos + jnp.asarray([-0.5 * sp.kickable_area, 0.0], F32)
             )

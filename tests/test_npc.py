@@ -211,3 +211,38 @@ class TestDifficultyLadder:
         assert chaser < dummy - 0.05            # chaser denies some
         assert agent2d < chaser - 0.2           # keeper denies most
         assert agent2d < 0.45
+
+
+class TestOffenseOnBall:
+    """HFO --offense-on-ball semantics (bin/HFO): an index names a fixed
+    offense player; a value beyond the roster gives the ball to a RANDOM
+    offense player each episode (the reference's 2v1 config passes 10 with
+    2 agents, /root/reference/scripts/train.sh:41-53)."""
+
+    def _holder(self, env, key):
+        s, _ = env.reset(key)
+        d = np.linalg.norm(
+            np.asarray(s.p_pos[: env.cfg.n_offense]) - np.asarray(s.ball_pos),
+            axis=-1,
+        )
+        return int(np.argmin(d)), float(d.min())
+
+    def test_fixed_index_pins_holder(self):
+        cfg = EnvConfig(offense_agents=2, defense_npcs=1,
+                        defense_goalie=True, offense_on_ball=2)
+        env = HFOEnv(cfg, SP, noise_scale=0.0, npc_policy="agent2d")
+        for seed in range(6):
+            h, d = self._holder(env, jax.random.PRNGKey(seed))
+            assert h == 1 and d < SP.kickable_area
+
+    def test_overflow_index_randomizes_holder(self):
+        cfg = EnvConfig(offense_agents=2, defense_npcs=1,
+                        defense_goalie=True, offense_on_ball=10,
+                        ball_x_min=0.6)
+        env = HFOEnv(cfg, SP, noise_scale=0.0, npc_policy="agent2d")
+        holders = set()
+        for seed in range(16):
+            h, d = self._holder(env, jax.random.PRNGKey(seed))
+            assert d < SP.kickable_area
+            holders.add(h)
+        assert holders == {0, 1}
